@@ -1,0 +1,97 @@
+"""Image download & cache.
+
+Idempotent URL->file cache keyed by URL basename, accepting local paths
+(reference: core/utils.py:44-55, 726-748) — plus a concurrent prefetch pool:
+the reference downloads serially inside the row loop, which is the throughput
+ceiling of dataset generation (SURVEY §3.3); here a ThreadPoolExecutor warms
+the cache ahead of the row loop.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from pathlib import Path
+from typing import Dict, Iterable, Optional
+
+import requests
+
+
+def download_image(url: str, save_path: str, timeout: int = 15) -> bool:
+    if Path(save_path).exists():
+        return True
+    try:
+        response = requests.get(url, stream=True, timeout=timeout)
+        response.raise_for_status()
+        with open(save_path, "wb") as f:
+            f.write(response.content)
+        return True
+    except Exception as e:
+        print(f"\n❌ 图片下载失败 {url}：{e}")
+        return False
+
+
+def cache_path_for(source_url: str, cache_dir: Path) -> Optional[Path]:
+    """Deterministic cache location for a URL (None for empty sources)."""
+    if not source_url:
+        return None
+    filename = source_url.split("/")[-1]
+    if "?" in filename:
+        filename = filename.split("?")[0]
+    if not filename:
+        filename = f"image_{hash(source_url)}.jpg"
+    return Path(cache_dir) / filename
+
+
+def ensure_image_cached(source_url, cache_dir: Path) -> Optional[Path]:
+    """Local path if source exists on disk; otherwise download-to-cache."""
+    if not source_url:
+        return None
+    try:
+        if Path(str(source_url)).exists():
+            return Path(str(source_url))
+        cache_path = cache_path_for(str(source_url), cache_dir)
+        if cache_path is None:
+            return None
+        if cache_path.exists() and cache_path.stat().st_size > 0:
+            return cache_path
+        download_image(str(source_url), str(cache_path))
+        if cache_path.exists():
+            return cache_path
+    except Exception:
+        pass
+    return None
+
+
+def prefetch_images(
+    sources: Iterable[str],
+    cache_dir: Path,
+    max_workers: int = 16,
+) -> Dict[str, Optional[Path]]:
+    """Concurrently warm the image cache for many sources.
+
+    Local paths resolve immediately; remote URLs are fetched with up to
+    ``max_workers`` parallel connections. Returns {source: local_path_or_None}.
+    """
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    unique = [s for s in dict.fromkeys(sources) if s]
+    results: Dict[str, Optional[Path]] = {}
+    remote = []
+    for src in unique:
+        p = Path(str(src))
+        if p.exists():
+            results[src] = p
+        else:
+            remote.append(src)
+    if remote:
+        with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = {
+                pool.submit(ensure_image_cached, src, cache_dir): src for src in remote
+            }
+            for fut in cf.as_completed(futures):
+                src = futures[fut]
+                try:
+                    results[src] = fut.result()
+                except Exception:
+                    results[src] = None
+    return results

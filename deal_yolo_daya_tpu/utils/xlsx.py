@@ -1,0 +1,330 @@
+"""Minimal self-contained xlsx reader/writer (no openpyxl dependency).
+
+The reference pipeline moves label maps, split rules, per-category splits and
+audit trails through .xlsx files (reference: core/processor.py:531, 687,
+809-812, 816-818, 1074). This environment ships no Excel engine, so we
+implement the small subset of OOXML SpreadsheetML the pipeline needs:
+
+- multi-sheet workbooks
+- string / number / boolean / empty cells (inline strings on write;
+  sharedStrings, inlineStr, n, b, str cell types on read)
+- DataFrame round-trip with a header row (pandas read_excel/to_excel style)
+
+xlsx is a zip of XML parts; we emit the minimal part set by hand and parse
+with xml.etree. Full unicode (CJK labels) supported.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import math
+import pandas as pd
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+# ---------------------------------------------------------------------------
+# Writing
+# ---------------------------------------------------------------------------
+
+_CONTENT_TYPES_TMPL = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    "{sheet_overrides}"
+    "</Types>"
+)
+
+_RELS_ROOT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+
+
+def _col_letter(idx: int) -> str:
+    """0-based column index -> spreadsheet column letters (0 -> A, 26 -> AA)."""
+    letters = ""
+    idx += 1
+    while idx > 0:
+        idx, rem = divmod(idx - 1, 26)
+        letters = chr(ord("A") + rem) + letters
+    return letters
+
+
+def _xml_escape(text: str) -> str:
+    return (
+        text.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _cell_xml(ref: str, value) -> str:
+    if value is None:
+        return ""
+    if isinstance(value, float) and math.isnan(value):
+        return ""
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{1 if value else 0}</v></c>'
+    if isinstance(value, (int, float)):
+        if isinstance(value, float) and math.isinf(value):
+            value = str(value)
+        else:
+            return f'<c r="{ref}"><v>{value!r}</v></c>'
+    text = _xml_escape(str(value))
+    # preserve leading/trailing whitespace
+    space = ' xml:space="preserve"' if text != text.strip() else ""
+    return f'<c r="{ref}" t="inlineStr"><is><t{space}>{text}</t></is></c>'
+
+
+def _sheet_xml(df: pd.DataFrame, header: bool = True, index: bool = False) -> str:
+    rows: List[str] = []
+    out_rows: List[List] = []
+    if header:
+        head = (list(map(str, df.index.names)) if index else []) + [str(c) for c in df.columns]
+        if index and head[: df.index.nlevels] == ["None"]:
+            head[0] = ""
+        out_rows.append(head)
+    for idx, row in zip(df.index, df.itertuples(index=False, name=None)):
+        prefix = list(idx) if (index and isinstance(idx, tuple)) else ([idx] if index else [])
+        out_rows.append(prefix + list(row))
+    for r, values in enumerate(out_rows, start=1):
+        cells = [
+            _cell_xml(f"{_col_letter(c)}{r}", v) for c, v in enumerate(values)
+        ]
+        rows.append(f'<row r="{r}">' + "".join(cells) + "</row>")
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(rows) + "</sheetData></worksheet>"
+    )
+
+
+def write_workbook(
+    path: Union[str, Path],
+    sheets: Dict[str, pd.DataFrame],
+    index: bool = False,
+) -> Path:
+    """Write an xlsx workbook: {sheet_name: DataFrame}."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    names = list(sheets.keys()) or ["Sheet1"]
+    if not sheets:
+        sheets = {"Sheet1": pd.DataFrame()}
+
+    sheet_overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for i in range(len(names))
+    )
+    workbook_sheets = "".join(
+        f'<sheet name="{_xml_escape(str(n)[:31])}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(names)
+    )
+    workbook_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{workbook_sheets}</sheets></workbook>"
+    )
+    workbook_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            _CONTENT_TYPES_TMPL.format(sheet_overrides=sheet_overrides),
+        )
+        zf.writestr("_rels/.rels", _RELS_ROOT)
+        zf.writestr("xl/workbook.xml", workbook_xml)
+        zf.writestr("xl/_rels/workbook.xml.rels", workbook_rels)
+        for i, name in enumerate(names):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_xml(sheets[name], index=index))
+    return path
+
+
+class ExcelWriter:
+    """pandas.ExcelWriter-style context manager backed by write_workbook."""
+
+    def __init__(self, path: Union[str, Path]):
+        self.path = Path(path)
+        self._sheets: Dict[str, pd.DataFrame] = {}
+
+    def write(self, df: pd.DataFrame, sheet_name: str = "Sheet1", index: bool = False):
+        self._sheets[sheet_name] = df.reset_index() if index else df
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            write_workbook(self.path, self._sheets)
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Reading
+# ---------------------------------------------------------------------------
+
+_CELL_REF_RE = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _ref_to_col(ref: str) -> int:
+    m = _CELL_REF_RE.match(ref)
+    if not m:
+        return 0
+    col = 0
+    for ch in m.group(1):
+        col = col * 26 + (ord(ch) - ord("A") + 1)
+    return col - 1
+
+
+def _parse_number(text: str):
+    try:
+        f = float(text)
+    except ValueError:
+        return text
+    if f.is_integer() and "e" not in text.lower() and "." not in text:
+        return int(f)
+    return f
+
+
+def _read_sheet_xml(data: bytes, shared: List[str]) -> pd.DataFrame:
+    root = ET.fromstring(data)
+    sheet_data = root.find(f"{_NS}sheetData")
+    if sheet_data is None:
+        return pd.DataFrame()
+    rows: Dict[int, Dict[int, object]] = {}
+    max_col = -1
+    for row_el in sheet_data.findall(f"{_NS}row"):
+        r = int(row_el.get("r", len(rows) + 1)) - 1
+        cells: Dict[int, object] = {}
+        next_col = 0
+        for c_el in row_el.findall(f"{_NS}c"):
+            ref = c_el.get("r")
+            col = _ref_to_col(ref) if ref else next_col
+            next_col = col + 1
+            ctype = c_el.get("t", "n")
+            value = None
+            if ctype == "inlineStr":
+                is_el = c_el.find(f"{_NS}is")
+                if is_el is not None:
+                    value = "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
+            else:
+                v_el = c_el.find(f"{_NS}v")
+                if v_el is not None and v_el.text is not None:
+                    if ctype == "s":
+                        value = shared[int(v_el.text)]
+                    elif ctype == "b":
+                        value = v_el.text == "1"
+                    elif ctype == "str":
+                        value = v_el.text
+                    else:
+                        value = _parse_number(v_el.text)
+            if value is not None:
+                cells[col] = value
+                max_col = max(max_col, col)
+        rows[r] = cells
+    if not rows:
+        return pd.DataFrame()
+    n_rows = max(rows.keys()) + 1
+    table = [[rows.get(r, {}).get(c) for c in range(max_col + 1)] for r in range(n_rows)]
+    if not table:
+        return pd.DataFrame()
+    header = ["" if v is None else str(v) for v in table[0]]
+    body = table[1:]
+    df = pd.DataFrame(body, columns=header)
+    # pandas-read_excel-style: coerce empty cells to NaN
+    return df.where(df.notna(), other=float("nan"))
+
+
+def _read_shared_strings(zf: zipfile.ZipFile) -> List[str]:
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(data)
+    strings = []
+    for si in root.findall(f"{_NS}si"):
+        strings.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return strings
+
+
+def _sheet_targets(zf: zipfile.ZipFile) -> Dict[str, str]:
+    """sheet name -> zip member path, in workbook order."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        rel.get("Id"): rel.get("Target") for rel in rels.findall(f"{_REL_NS}Relationship")
+    }
+    r_attr = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+    targets: Dict[str, str] = {}
+    for sheet in wb.iter(f"{_NS}sheet"):
+        target = rid_to_target.get(sheet.get(r_attr), "")
+        if target.startswith("/"):
+            target = target.lstrip("/")
+        elif not target.startswith("xl/"):
+            target = "xl/" + target
+        targets[sheet.get("name")] = target
+    return targets
+
+
+def sheet_names(path: Union[str, Path]) -> List[str]:
+    with zipfile.ZipFile(path) as zf:
+        return list(_sheet_targets(zf).keys())
+
+
+def read_workbook(
+    path: Union[str, Path],
+    sheet_name: Optional[Union[str, int]] = 0,
+) -> Union[pd.DataFrame, Dict[str, pd.DataFrame]]:
+    """Read an xlsx file. sheet_name: int | str | None (None -> dict of all)."""
+    with zipfile.ZipFile(path) as zf:
+        shared = _read_shared_strings(zf)
+        targets = _sheet_targets(zf)
+        names = list(targets.keys())
+        if sheet_name is None:
+            return {n: _read_sheet_xml(zf.read(targets[n]), shared) for n in names}
+        if isinstance(sheet_name, int):
+            name = names[sheet_name]
+        else:
+            name = sheet_name
+        return _read_sheet_xml(zf.read(targets[name]), shared)
+
+
+class ExcelFile:
+    """pandas.ExcelFile-style shim."""
+
+    def __init__(self, path: Union[str, Path]):
+        self.path = Path(path)
+        self.sheet_names = sheet_names(path)
+
+    def parse(self, sheet_name=0) -> pd.DataFrame:
+        return read_workbook(self.path, sheet_name)
+
+
+# pandas-flavored aliases used across datakit
+read_excel = read_workbook
+
+
+def to_excel(df: pd.DataFrame, path: Union[str, Path], index: bool = False) -> Path:
+    return write_workbook(path, {"Sheet1": df}, index=index)
