@@ -1,0 +1,230 @@
+"""High-level model API mirroring the engine surface the reference calls:
+``YOLO(model).train(data=..., **kwargs)`` (reference: core/training.py:63-64,
+83-84), plus predict()/val() for inference and evaluation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+
+class Detections:
+    """Per-image prediction result: xyxy boxes in original-image pixels."""
+
+    def __init__(self, path, image, boxes, scores, classes, names):
+        self.path = path
+        self.image = image            # RGB uint8 original image
+        self.boxes = boxes            # (n, 4) xyxy
+        self.scores = scores          # (n,)
+        self.classes = classes        # (n,) int
+        self.names = names
+
+    def __len__(self):
+        return len(self.boxes)
+
+    def plot(self) -> np.ndarray:
+        """Annotated copy of the image (red boxes + class/conf labels)."""
+        from PIL import Image, ImageDraw
+
+        img = Image.fromarray(self.image)
+        draw = ImageDraw.Draw(img)
+        for (x1, y1, x2, y2), s, c in zip(self.boxes, self.scores, self.classes):
+            name = self.names[int(c)] if 0 <= int(c) < len(self.names) else str(int(c))
+            draw.rectangle([x1, y1, x2, y2], outline=(255, 64, 64), width=2)
+            draw.text((x1 + 2, max(y1 - 12, 0)), f"{name} {s:.2f}", fill=(255, 255, 0))
+        return np.asarray(img)
+
+    def save(self, path):
+        from PIL import Image
+
+        Image.fromarray(self.plot()).save(path)
+        return path
+
+
+class YOLO:
+    """TPU-native YOLO11 model handle.
+
+    >>> model = YOLO("yolo11n")
+    >>> model.train(data="data.yaml", epochs=10, imgsz=640)
+    >>> results = model.predict(["img.jpg"])
+    """
+
+    def __init__(self, model: str = "yolo11n", nc: int = 80, imgsz: int = 640):
+        from .train.trainer import parse_scale
+
+        self.model_spec = str(model)
+        self.scale = parse_scale(self.model_spec)
+        self.nc = nc
+        self.imgsz = imgsz
+        self.names: List[str] = [str(i) for i in range(nc)]
+        self._model = None
+        self._variables = None
+        self.trainer = None
+        ckpt = Path(self.model_spec)
+        if ckpt.exists() and ckpt.is_dir():
+            self.load(ckpt)
+
+    # ------------------------------------------------------------------ build
+
+    def _ensure_built(self, nc: Optional[int] = None):
+        import jax.numpy as jnp
+
+        from .models import build_yolo11
+
+        if self._model is None or (nc is not None and nc != self.nc):
+            if nc is not None:
+                self.nc = nc
+            self._model, self._variables = build_yolo11(
+                self.scale, nc=self.nc, imgsz=self.imgsz, dtype=jnp.bfloat16
+            )
+
+    def load(self, ckpt_path) -> "YOLO":
+        """Load weights from an orbax checkpoint dir saved by the trainer."""
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckpt = ckptr.restore(Path(ckpt_path).resolve())
+        params = ckpt.get("ema_params") or ckpt["params"]
+        leaf_nc = None
+        try:
+            leaf_nc = np.shape(params["detect"]["cls0_2"]["bias"])[0]
+        except Exception:
+            pass
+        if leaf_nc:
+            self.nc = int(leaf_nc)
+        self._ensure_built()
+        self._variables = {
+            "params": params,
+            "batch_stats": ckpt["batch_stats"],
+        }
+        return self
+
+    # ------------------------------------------------------------------ train
+
+    def train(self, data: str, **kwargs) -> Dict[str, Any]:
+        from .train.trainer import TrainConfig, Trainer
+
+        cfg = TrainConfig(model=self.model_spec, data=data)
+        known = {f.name for f in dataclasses.fields(TrainConfig)}
+        for k, v in kwargs.items():
+            if k in known:
+                setattr(cfg, k, v)
+            else:
+                cfg.extra[k] = v
+        self.trainer = Trainer(cfg)
+        result = self.trainer.train()
+        # adopt trained EMA weights + class names for subsequent predict()
+        self.nc = self.trainer.nc
+        self.names = self.trainer.names
+        self.imgsz = cfg.imgsz
+        self._model = self.trainer.model
+        import jax
+
+        self._variables = {
+            "params": jax.device_get(self.trainer.state.ema_params),
+            "batch_stats": jax.device_get(self.trainer.state.batch_stats),
+        }
+        self.save_dir = result["save_dir"]
+        return result
+
+    # ---------------------------------------------------------------- predict
+
+    def predict(
+        self,
+        source: Union[str, Path, np.ndarray, Sequence],
+        conf: float = 0.25,
+        iou: float = 0.7,
+        max_det: int = 300,
+        batch_size: int = 16,
+    ) -> List[Detections]:
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.decode import decode_predictions
+        from .ops.letterbox import letterbox_numpy
+        from .ops.nms import batched_nms
+        from .train.data import load_image
+
+        self._ensure_built()
+        model, variables, imgsz = self._model, self._variables, self.imgsz
+
+        if isinstance(source, (str, Path)):
+            p = Path(source)
+            sources = sorted(
+                q for q in p.iterdir()
+                if q.suffix.lower() in {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+            ) if p.is_dir() else [p]
+        elif isinstance(source, np.ndarray):
+            sources = [source]
+        else:
+            sources = list(source)
+
+        @jax.jit
+        def infer(images):
+            x = images.astype(jnp.bfloat16) / 255.0
+            box, cls = model.apply(variables, x, train=False)
+            boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
+            return batched_nms(
+                boxes, scores, conf_thres=conf, iou_thres=iou,
+                pre_topk=1000, max_det=max_det,
+            )
+
+        results: List[Detections] = []
+        for start in range(0, len(sources), batch_size):
+            chunk = sources[start : start + batch_size]
+            imgs, metas = [], []
+            for src in chunk:
+                img = src if isinstance(src, np.ndarray) else load_image(src)
+                canvas, r, (px, py) = letterbox_numpy(img, imgsz)
+                imgs.append(canvas)
+                metas.append((src, img, r, (px, py)))
+            batch = np.stack(imgs)
+            if len(batch) < batch_size:
+                pad = np.zeros(
+                    (batch_size - len(batch), imgsz, imgsz, 3), batch.dtype
+                )
+                batch = np.concatenate([batch, pad])
+            ob, osc, ocl, nd = map(np.asarray, infer(jnp.asarray(batch)))
+            for i, (src, img, r, (px, py)) in enumerate(metas):
+                n = int(nd[i])
+                boxes = ob[i, :n].copy()
+                if n:
+                    boxes -= [px, py, px, py]
+                    boxes /= r
+                    h, w = img.shape[:2]
+                    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+                    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+                results.append(Detections(
+                    path=str(src) if not isinstance(src, np.ndarray) else None,
+                    image=img,
+                    boxes=boxes,
+                    scores=osc[i, :n],
+                    classes=ocl[i, :n],
+                    names=self.names,
+                ))
+        return results
+
+    # -------------------------------------------------------------------- val
+
+    def val(self, data: str, **kwargs) -> Dict[str, float]:
+        from .train.trainer import TrainConfig, Trainer
+
+        cfg = TrainConfig(model=self.model_spec, data=data, val=True)
+        for k, v in kwargs.items():
+            if hasattr(cfg, k):
+                setattr(cfg, k, v)
+        trainer = Trainer(cfg)
+        if self._variables is not None:
+            import jax.numpy as jnp
+
+            trainer.state = trainer.state._replace(
+                params=self._variables["params"],
+                ema_params=self._variables["params"],
+                batch_stats=self._variables["batch_stats"],
+            )
+        metrics, losses = trainer.validate(save_artifacts=False)
+        return metrics

@@ -1,0 +1,9 @@
+"""Flax YOLO11 model zoo (n/s/m/l/x).
+
+From-scratch TPU-native implementation of the YOLO11 detection architecture
+whose capability the reference reaches only through the ultralytics dependency
+(reference: core/training.py:63-64, default model
+ultralytics/cfg/models/11/yolo11.yaml at ui/pages/training.py:345).
+"""
+
+from .yolo11 import YOLO11, YOLO11_SCALES, build_yolo11  # noqa: F401

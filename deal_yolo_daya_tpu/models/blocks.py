@@ -1,0 +1,266 @@
+"""YOLO11 building blocks in Flax linen, NHWC, MXU-friendly.
+
+Design notes (TPU-first):
+- NHWC layout throughout — XLA:TPU's native conv layout.
+- Conv+BN+SiLU kept as separate ops under jit: XLA fuses BN+SiLU into the
+  conv epilogue on TPU; a `fold_batchnorm` transform (see yolo11.py) folds BN
+  into conv weights for inference.
+- `dtype` is the compute dtype (bfloat16 for MXU), params stay float32.
+- Explicit symmetric padding k//2 (not "SAME") so stride-2 convs match the
+  standard YOLO spatial alignment.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def autopad(k: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    p = k // 2
+    return ((p, p), (p, p))
+
+
+class ConvBN(nn.Module):
+    """Conv2D + BatchNorm + SiLU (optionally no activation)."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=autopad(self.kernel),
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        if self.act:
+            x = nn.silu(x)
+        return x
+
+
+class DWConv(nn.Module):
+    """Depthwise Conv + BN + SiLU."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBN(
+            self.features, self.kernel, self.stride,
+            groups=self.features, act=self.act, dtype=self.dtype, name="dw",
+        )(x, train)
+
+
+class Bottleneck(nn.Module):
+    """Two convs with optional residual."""
+
+    features: int
+    shortcut: bool = True
+    kernels: Tuple[int, int] = (3, 3)
+    expansion: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.features * self.expansion)
+        y = ConvBN(hidden, self.kernels[0], dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBN(self.features, self.kernels[1], dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = x + y
+        return y
+
+
+class C3k(nn.Module):
+    """CSP block with 3 convs and n bottlenecks (kernel-k variant)."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.features * self.expansion)
+        a = ConvBN(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = ConvBN(hidden, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(
+                hidden, self.shortcut, (self.kernel, self.kernel), 1.0,
+                dtype=self.dtype, name=f"m{i}",
+            )(a, train)
+        return ConvBN(self.features, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
+class C3k2(nn.Module):
+    """Fast CSP block: split, run n inner modules on the running tail,
+    concat all intermediate chunks (C2f topology with C3k/Bottleneck inners)."""
+
+    features: int
+    n: int = 1
+    c3k: bool = False
+    expansion: float = 0.5
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.features * self.expansion)
+        y = ConvBN(2 * hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        chunks = [y[..., :hidden], y[..., hidden:]]
+        for i in range(self.n):
+            if self.c3k:
+                nxt = C3k(hidden, 2, self.shortcut, dtype=self.dtype, name=f"m{i}")(
+                    chunks[-1], train
+                )
+            else:
+                nxt = Bottleneck(
+                    hidden, self.shortcut, (3, 3), 0.5, dtype=self.dtype, name=f"m{i}"
+                )(chunks[-1], train)
+            chunks.append(nxt)
+        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(chunks, axis=-1), train
+        )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): three chained k=5 maxpools."""
+
+    features: int
+    pool_kernel: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = x.shape[-1] // 2
+        y = ConvBN(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        k = self.pool_kernel
+        pad = k // 2
+        pools = [y]
+        for _ in range(3):
+            pools.append(
+                nn.max_pool(
+                    pools[-1], (k, k), strides=(1, 1),
+                    padding=((pad, pad), (pad, pad)),
+                )
+            )
+        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(pools, axis=-1), train
+        )
+
+
+class PSAAttention(nn.Module):
+    """Position-sensitive multi-head attention over the HxW grid.
+
+    qkv/proj are 1x1 convs; a depthwise 3x3 conv on V provides the positional
+    encoding. Attention math runs as batched matmuls (MXU) over (heads, HW).
+    """
+
+    dim: int
+    num_heads: int
+    attn_ratio: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        n = h * w
+        head_dim = self.dim // self.num_heads
+        key_dim = int(head_dim * self.attn_ratio)
+        scale = key_dim ** -0.5
+        total = self.num_heads * (2 * key_dim + head_dim)
+
+        qkv = ConvBN(total, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
+        qkv = qkv.reshape(b, n, self.num_heads, 2 * key_dim + head_dim)
+        q = qkv[..., :key_dim]
+        k = qkv[..., key_dim:2 * key_dim]
+        v = qkv[..., 2 * key_dim:]
+
+        # (b, heads, n, n) attention over the spatial grid
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(b, h, w, self.num_heads * head_dim)
+
+        pe = ConvBN(
+            self.dim, 3, groups=self.dim, act=False, dtype=self.dtype, name="pe"
+        )(v.reshape(b, h, w, self.num_heads * head_dim), train)
+        return ConvBN(self.dim, 1, act=False, dtype=self.dtype, name="proj")(
+            out + pe, train
+        )
+
+
+class PSABlock(nn.Module):
+    """Attention + 2-layer conv FFN, both residual."""
+
+    dim: int
+    num_heads: int
+    attn_ratio: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + PSAAttention(
+            self.dim, self.num_heads, self.attn_ratio, dtype=self.dtype, name="attn"
+        )(x, train)
+        y = ConvBN(self.dim * 2, 1, dtype=self.dtype, name="ffn0")(x, train)
+        y = ConvBN(self.dim, 1, act=False, dtype=self.dtype, name="ffn1")(y, train)
+        return x + y
+
+
+class C2PSA(nn.Module):
+    """CSP wrapper around n PSA attention blocks."""
+
+    features: int
+    n: int = 1
+    expansion: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.features * self.expansion)
+        y = ConvBN(2 * hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :hidden], y[..., hidden:]
+        heads = max(hidden // 64, 1)
+        for i in range(self.n):
+            b = PSABlock(hidden, heads, dtype=self.dtype, name=f"m{i}")(b, train)
+        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample (pure reshape/broadcast — free on TPU)."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

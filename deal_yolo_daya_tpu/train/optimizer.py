@@ -1,0 +1,89 @@
+"""Optimizer factory: SGD/AdamW with warmup + linear/cosine LR, decoupled
+weight-decay masking, and parameter EMA.
+
+Knob surface mirrors the reference training page (optimizer selector, lr0,
+cos_lr, patience, warmup — reference: ui/pages/training.py:352-368) with
+ultralytics-compatible defaults (lr0=0.01 SGD momentum 0.937 / lrf=0.01,
+wd 5e-4, 3 warmup epochs, EMA decay 0.9999 with ramp).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "SGD"            # SGD | AdamW | auto
+    lr0: float = 0.01
+    lrf: float = 0.01            # final LR fraction
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+    warmup_epochs: float = 3.0
+    cos_lr: bool = False
+    epochs: int = 100
+    steps_per_epoch: int = 100
+
+
+def _decay_mask(params) -> Any:
+    """Apply weight decay to conv/dense kernels only (not bias/BN), the
+    standard YOLO recipe."""
+    def mask_fn(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return name == "kernel"
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def lr_schedule(cfg: OptimizerConfig):
+    warmup_steps = max(int(cfg.warmup_epochs * cfg.steps_per_epoch), 1)
+    total_steps = max(cfg.epochs * cfg.steps_per_epoch, warmup_steps + 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = cfg.lr0 * step / warmup_steps
+        frac = jnp.clip(
+            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0, 1
+        )
+        if cfg.cos_lr:
+            decay = cfg.lrf + (1 - cfg.lrf) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
+        else:
+            decay = 1.0 - (1.0 - cfg.lrf) * frac
+        main = cfg.lr0 * decay
+        return jnp.where(step < warmup_steps, warm, main)
+
+    return schedule
+
+
+def build_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformation:
+    schedule = lr_schedule(cfg)
+    name = cfg.name.lower()
+    if name in ("sgd", "auto"):
+        opt = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask(params)),
+            optax.sgd(schedule, momentum=cfg.momentum, nesterov=True),
+        )
+    elif name == "adamw":
+        opt = optax.adamw(
+            schedule, b1=cfg.momentum, weight_decay=cfg.weight_decay,
+            mask=_decay_mask(params),
+        )
+    elif name == "adam":
+        opt = optax.adam(schedule, b1=cfg.momentum)
+    else:
+        raise ValueError(f"unknown optimizer: {cfg.name}")
+    return opt
+
+
+def ema_update(ema_params, new_params, step: jnp.ndarray, decay: float = 0.9999):
+    """EMA with warmup ramp: d = decay * (1 - exp(-step/2000))."""
+    d = decay * (1 - jnp.exp(-jnp.asarray(step, jnp.float32) / 2000.0))
+    return jax.tree_util.tree_map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1 - d), ema_params, new_params
+    )

@@ -1,0 +1,441 @@
+"""Trainer: jitted DP train step, validation with mAP, artifacts, checkpoints.
+
+Replaces the reference's delegated engine call
+``YOLO(model_path).train(data=..., **kwargs)`` (reference:
+core/training.py:63-64) with a from-scratch JAX/Flax training loop:
+
+- one jitted train step (donated state) over a jax.sharding Mesh: batch
+  sharded on the `data` axis, params replicated, grad all-reduce inserted by
+  XLA over ICI;
+- bf16 compute under ``amp`` (MXU path), fp32 params/optimizer;
+- EMA weights, warmup + linear/cosine LR, close_mosaic schedule, patience
+  early-stop, save_period — the knob surface of the reference training page
+  (ui/pages/training.py:352-368);
+- per-epoch results.csv row + final plots/confusion matrix/val predictions
+  (the §3.5 artifact contract), orbax checkpoints with resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.yolo11 import YOLO11, YOLO11_SCALES
+from ..ops.decode import decode_predictions
+from ..ops.nms import batched_nms
+from ..parallel.mesh import create_mesh, mesh_from_spec
+from ..parallel.sharding import batch_sharding, replicate_sharding
+from .artifacts import RunDir
+from .augment import AugmentConfig
+from .data import Batch, DataLoader, Prefetcher, YoloDataset
+from .loss import LossConfig, detection_loss
+from .metrics import DetMetrics, confusion_matrix
+from .optimizer import OptimizerConfig, build_optimizer, ema_update, lr_schedule
+
+
+@dataclass
+class TrainConfig:
+    model: str = "yolo11n"
+    data: str = ""
+    epochs: int = 100
+    imgsz: int = 640
+    batch: int = 16
+    device: str = ""           # mesh spec "8" / "4x2"; "" -> all devices DP
+    amp: bool = True
+    optimizer: str = "auto"
+    lr0: float = 0.01
+    lrf: float = 0.01
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+    warmup_epochs: float = 3.0
+    seed: int = 0
+    patience: int = 100
+    cos_lr: bool = False
+    close_mosaic: int = 10
+    save_period: int = -1
+    project: str = "runs/train"
+    name: str = "train"
+    exist_ok: bool = False
+    resume: Any = False
+    workers: int = 3           # prefetch depth
+    val: bool = True
+    max_boxes: int = 128
+    box: float = 7.5
+    cls: float = 0.5
+    dfl: float = 1.5
+    mosaic: float = 1.0
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    fliplr: float = 0.5
+    flipud: float = 0.0
+    scale: float = 0.5
+    translate: float = 0.1
+    degrees: float = 0.0
+    conf: float = 0.001        # val confidence threshold
+    iou: float = 0.7           # NMS IoU threshold
+    max_det: int = 300
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray
+
+
+def parse_scale(model: str) -> str:
+    """'yolo11n' | 'yolo11n.yaml' | '.../yolo11x.yaml' -> scale letter."""
+    stem = Path(str(model)).stem.lower()
+    for s in "nsmlx":
+        if stem.endswith(s) and "yolo11" in stem:
+            return s
+    if stem in YOLO11_SCALES:
+        return stem
+    return "n"
+
+
+def fitness(metrics: Dict[str, float]) -> float:
+    return 0.1 * metrics.get("map50", 0.0) + 0.9 * metrics.get("map", 0.0)
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, mesh=None):
+        self.cfg = config
+        self.scale = parse_scale(config.model)
+        self.train_ds = YoloDataset.from_yaml(config.data, "train")
+        self.val_ds = YoloDataset.from_yaml(config.data, "val")
+        if len(self.val_ds) == 0:
+            self.val_ds = self.train_ds
+        self.nc = max(self.train_ds.nc, 1)
+        self.names = self.train_ds.names or [str(i) for i in range(self.nc)]
+
+        self.mesh = mesh if mesh is not None else mesh_from_spec(config.device or None)
+        n_data = self.mesh.shape["data"]
+        if config.batch % n_data != 0:
+            config.batch = max(n_data, config.batch // n_data * n_data)
+
+        self.dtype = jnp.bfloat16 if config.amp else jnp.float32
+        self.model = YOLO11(nc=self.nc, scale=self.scale, dtype=self.dtype)
+
+        aug = AugmentConfig(
+            mosaic=config.mosaic, hsv_h=config.hsv_h, hsv_s=config.hsv_s,
+            hsv_v=config.hsv_v, fliplr=config.fliplr, flipud=config.flipud,
+            scale=config.scale, translate=config.translate, degrees=config.degrees,
+        )
+        self.train_loader = DataLoader(
+            self.train_ds, config.batch, config.imgsz, augment=True,
+            aug_config=aug, seed=config.seed, max_boxes=config.max_boxes,
+        )
+        self.val_loader = DataLoader(
+            self.val_ds, config.batch, config.imgsz, augment=False,
+            seed=config.seed, max_boxes=config.max_boxes, keep_meta=True,
+            shuffle=False, drop_last=False,
+        )
+
+        self.loss_cfg = LossConfig(
+            nc=self.nc, box_gain=config.box, cls_gain=config.cls, dfl_gain=config.dfl
+        )
+        steps_per_epoch = max(len(self.train_loader), 1)
+        self.opt_cfg = OptimizerConfig(
+            name=config.optimizer, lr0=config.lr0, lrf=config.lrf,
+            momentum=config.momentum, weight_decay=config.weight_decay,
+            warmup_epochs=config.warmup_epochs, cos_lr=config.cos_lr,
+            epochs=config.epochs, steps_per_epoch=steps_per_epoch,
+        )
+        self.lr_fn = lr_schedule(self.opt_cfg)
+
+        self.run = RunDir(config.project, config.name, config.exist_ok)
+        self.run.write_args(dataclasses.asdict(config))
+
+        self._init_state()
+        self._build_steps()
+
+    # ------------------------------------------------------------------ state
+
+    def _init_state(self):
+        cfg = self.cfg
+        dummy = jnp.zeros((1, cfg.imgsz, cfg.imgsz, 3), self.dtype)
+        variables = self.model.init(jax.random.PRNGKey(cfg.seed), dummy, train=False)
+        self.optimizer = build_optimizer(self.opt_cfg, variables["params"])
+        opt_state = self.optimizer.init(variables["params"])
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=opt_state,
+            # real copy: EMA must not alias params (step donation forbids it)
+            ema_params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        rep = replicate_sharding(self.mesh)
+        self.state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        self.start_epoch = 0
+        if cfg.resume:
+            self._try_resume()
+
+    def _build_steps(self):
+        model, loss_cfg, imgsz = self.model, self.loss_cfg, self.cfg.imgsz
+        optimizer = self.optimizer
+        rep = replicate_sharding(self.mesh)
+        data_sh = batch_sharding(self.mesh)
+
+        def train_step(state: TrainState, images, gt_boxes, gt_classes, gt_mask):
+            x = images.astype(self.dtype) / 255.0
+
+            def loss_fn(params):
+                (box, cls), mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                total, parts = detection_loss(
+                    box, cls, gt_classes, gt_boxes, gt_mask, (imgsz, imgsz), loss_cfg
+                )
+                return total, (parts, mutated["batch_stats"])
+
+            (total, (parts, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_step = state.step + 1
+            new_ema = ema_update(state.ema_params, new_params, new_step)
+            new_state = TrainState(new_params, new_stats, new_opt, new_ema, new_step)
+            return new_state, total, parts
+
+        self.train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, data_sh, data_sh, data_sh, data_sh),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0,),
+        )
+
+        conf, iou_t, max_det = self.cfg.conf, self.cfg.iou, self.cfg.max_det
+
+        def eval_step(params, batch_stats, images, gt_boxes, gt_classes, gt_mask):
+            x = images.astype(self.dtype) / 255.0
+            box, cls = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            total, parts = detection_loss(
+                box, cls, gt_classes, gt_boxes, gt_mask, (imgsz, imgsz), loss_cfg
+            )
+            boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
+            det = batched_nms(
+                boxes, scores, conf_thres=conf, iou_thres=iou_t,
+                pre_topk=1000, max_det=max_det,
+            )
+            return det, total, parts
+
+        self.eval_step = jax.jit(
+            eval_step,
+            in_shardings=(rep, rep, data_sh, data_sh, data_sh, data_sh),
+        )
+
+    # ------------------------------------------------------------------ ckpt
+
+    def _ckpt_dir(self) -> Path:
+        return (self.run.path / "weights").resolve()
+
+    def save_checkpoint(self, tag: str, epoch: int, fit: float):
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir() / tag
+        ckpt = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "step": int(self.state.step),
+            "epoch": epoch,
+            "fitness": fit,
+        }
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, ckpt, force=True)
+
+    def _try_resume(self):
+        import orbax.checkpoint as ocp
+
+        resume_path = self.cfg.resume
+        if resume_path is True:
+            resume_path = self._ckpt_dir() / "last"
+        resume_path = Path(str(resume_path))
+        if not resume_path.exists():
+            print(f"resume 检查点不存在：{resume_path}，从头开始训练")
+            return
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckpt = ckptr.restore(resume_path)
+        rep = replicate_sharding(self.mesh)
+        put = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), rep), t)
+        self.state = TrainState(
+            params=put(ckpt["params"]),
+            batch_stats=put(ckpt["batch_stats"]),
+            opt_state=self.state.opt_state,
+            ema_params=put(ckpt["ema_params"]),
+            step=jnp.asarray(ckpt["step"], jnp.int32),
+        )
+        self.start_epoch = int(ckpt.get("epoch", 0)) + 1
+        print(f"已从 {resume_path} 恢复（epoch {self.start_epoch}）")
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        data_sh = batch_sharding(self.mesh)
+        best_fit = -1.0
+        best_epoch = -1
+        t0 = time.time()
+        print(
+            f"开始训练：yolo11{self.scale} nc={self.nc} imgsz={cfg.imgsz} "
+            f"batch={cfg.batch} devices={self.mesh.devices.size} epochs={cfg.epochs}"
+        )
+        for epoch in range(self.start_epoch, cfg.epochs):
+            if cfg.close_mosaic and cfg.epochs - epoch <= cfg.close_mosaic:
+                self.train_loader.mosaic_off = True
+            losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
+            n_steps = 0
+            epoch_t0 = time.time()
+            for batch in Prefetcher(self.train_loader.epoch(epoch), depth=cfg.workers):
+                args = jax.device_put(
+                    (batch.images, batch.gt_boxes, batch.gt_classes, batch.gt_mask),
+                    data_sh,
+                )
+                self.state, total, parts = self.train_step(self.state, *args)
+                n_steps += 1
+                for k in losses:
+                    losses[k] += float(parts[k])
+            for k in losses:
+                losses[k] /= max(n_steps, 1)
+            lr_now = float(self.lr_fn(self.state.step))
+
+            metrics = {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0}
+            val_losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
+            if cfg.val:
+                metrics, val_losses = self.validate(save_artifacts=False)
+
+            epoch_time = time.time() - epoch_t0
+            imgs = n_steps * cfg.batch
+            print(
+                f"Epoch {epoch + 1}/{cfg.epochs}  box {losses['box_loss']:.4f} "
+                f"cls {losses['cls_loss']:.4f} dfl {losses['dfl_loss']:.4f}  "
+                f"mAP50 {metrics['map50']:.4f} mAP50-95 {metrics['map']:.4f}  "
+                f"{imgs / max(epoch_time, 1e-9):.1f} img/s"
+            )
+            self.run.append_results_row({
+                "epoch": epoch + 1,
+                "time": round(time.time() - t0, 2),
+                "train/box_loss": losses["box_loss"],
+                "train/cls_loss": losses["cls_loss"],
+                "train/dfl_loss": losses["dfl_loss"],
+                "metrics/precision(B)": metrics["precision"],
+                "metrics/recall(B)": metrics["recall"],
+                "metrics/mAP50(B)": metrics["map50"],
+                "metrics/mAP50-95(B)": metrics["map"],
+                "val/box_loss": val_losses["box_loss"],
+                "val/cls_loss": val_losses["cls_loss"],
+                "val/dfl_loss": val_losses["dfl_loss"],
+                "lr/pg0": lr_now, "lr/pg1": lr_now, "lr/pg2": lr_now,
+            })
+
+            fit = fitness(metrics)
+            self.save_checkpoint("last", epoch, fit)
+            if fit > best_fit:
+                best_fit, best_epoch = fit, epoch
+                self.save_checkpoint("best", epoch, fit)
+            if cfg.save_period > 0 and (epoch + 1) % cfg.save_period == 0:
+                self.save_checkpoint(f"epoch{epoch + 1}", epoch, fit)
+            if cfg.patience and epoch - best_epoch >= cfg.patience:
+                print(f"EarlyStopping: 最近 {cfg.patience} 个 epoch 无提升，提前停止")
+                break
+
+        final_metrics, _ = self.validate(save_artifacts=True) if cfg.val else ({}, {})
+        self.run.plot_results()
+        print(f"训练完成，用时 {time.time() - t0:.1f}s，结果目录：{self.run.path}")
+        return {
+            "save_dir": self.run.path,
+            "best_fitness": best_fit,
+            "metrics": final_metrics,
+        }
+
+    # ------------------------------------------------------------------ val
+
+    def validate(self, save_artifacts: bool = False, use_ema: bool = True):
+        cfg = self.cfg
+        data_sh = batch_sharding(self.mesh)
+        params = self.state.ema_params if use_ema else self.state.params
+        det_metrics = DetMetrics(nc=self.nc)
+        val_losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
+        n_steps = 0
+        cm_preds, cm_gts = [], []
+        first_batch_saved = False
+
+        for batch in self.val_loader.epoch(0):
+            args = jax.device_put(
+                (batch.images, batch.gt_boxes, batch.gt_classes, batch.gt_mask),
+                data_sh,
+            )
+            (ob, osc, ocl, nd), total, parts = self.eval_step(
+                params, self.state.batch_stats, *args
+            )
+            ob, osc, ocl, nd = map(np.asarray, (ob, osc, ocl, nd))
+            n_steps += 1
+            for k in val_losses:
+                val_losses[k] += float(parts[k])
+
+            for i in range(len(batch.images)):
+                meta = batch.meta[i] if batch.meta else None
+                n = int(nd[i])
+                pred_boxes = ob[i, :n].copy()
+                pred_scores = osc[i, :n]
+                pred_cls = ocl[i, :n]
+                gt_b = batch.gt_boxes[i][batch.gt_mask[i]].copy()
+                gt_c = batch.gt_classes[i][batch.gt_mask[i]]
+                if meta is not None:
+                    _, (oh, ow), r, (px, py) = meta
+                    for arr in (pred_boxes, gt_b):
+                        if len(arr):
+                            arr -= [px, py, px, py]
+                            arr /= r
+                            arr[:, [0, 2]] = arr[:, [0, 2]].clip(0, ow)
+                            arr[:, [1, 3]] = arr[:, [1, 3]].clip(0, oh)
+                det_metrics.update(pred_boxes, pred_scores, pred_cls, gt_b, gt_c)
+                cm_preds.append((pred_boxes, pred_scores, pred_cls))
+                cm_gts.append((gt_b, gt_c))
+
+            if save_artifacts and not first_batch_saved:
+                self.run.save_val_batch_predictions(
+                    batch.images, ob, osc, ocl, nd, self.names
+                )
+                first_batch_saved = True
+
+        for k in val_losses:
+            val_losses[k] /= max(n_steps, 1)
+        result = det_metrics.compute()
+        if save_artifacts:
+            cm = confusion_matrix(cm_preds, cm_gts, self.nc)
+            self.run.plot_confusion_matrix(cm, self.names)
+            self.run.plot_pr_curves(result, self.names)
+        return result, val_losses
+
+
+def train_run(model: str, data: str, **kwargs) -> Dict[str, Any]:
+    """One-call train API: the drop-in replacement for the engine invocation
+    the reference makes (core/training.py:63-64). kwargs follow the reference
+    train-kwargs surface; unknown keys land in cfg.extra."""
+    cfg = TrainConfig(model=model, data=data)
+    known = {f.name for f in dataclasses.fields(TrainConfig)}
+    for k, v in kwargs.items():
+        if k in known:
+            setattr(cfg, k, v)
+        else:
+            cfg.extra[k] = v
+    trainer = Trainer(cfg)
+    return trainer.train()

@@ -1,0 +1,62 @@
+"""Model graph tests: shapes, param counts, dtype policy, BN folding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deal_yolo_daya_tpu.models import YOLO11, build_yolo11
+from deal_yolo_daya_tpu.models.yolo11 import fuse_conv_bn, param_count
+
+
+def test_yolo11n_param_count_matches_ultralytics():
+    # ultralytics yolo11n @ nc=80 has 2,624,080 params, 16 of which are the
+    # fixed (non-learned) DFL projection we compute functionally.
+    _, variables = build_yolo11("n", nc=80, imgsz=64)
+    assert param_count(variables) == 2_624_080 - 16
+
+
+def test_forward_shapes_and_strides():
+    model, variables = build_yolo11("n", nc=7, imgsz=128)
+    x = jnp.zeros((2, 128, 128, 3))
+    box, cls = model.apply(variables, x, train=False)
+    assert [tuple(b.shape) for b in box] == [
+        (2, 16, 16, 64), (2, 8, 8, 64), (2, 4, 4, 64),
+    ]
+    assert [tuple(c.shape) for c in cls] == [
+        (2, 16, 16, 7), (2, 8, 8, 7), (2, 4, 4, 7),
+    ]
+
+
+def test_train_mode_updates_batch_stats():
+    model, variables = build_yolo11("n", nc=3, imgsz=64)
+    x = jnp.ones((2, 64, 64, 3))
+    (box, cls), mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_fuse_conv_bn_preserves_inference_output():
+    model, variables = build_yolo11("n", nc=3, imgsz=64, seed=1)
+    # make BN stats non-trivial
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+
+    box, cls = model.apply(variables, x, train=False)
+    fused = fuse_conv_bn(variables)
+    box_f, cls_f = model.apply(fused, x, train=False)
+    for a, b in zip(box + cls, box_f + cls_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_bf16_compute_dtype():
+    model, variables = build_yolo11("n", nc=3, imgsz=64, dtype=jnp.bfloat16)
+    # params stay fp32
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    box, cls = model.apply(variables, jnp.zeros((1, 64, 64, 3), jnp.bfloat16), train=False)
+    assert box[0].dtype == jnp.bfloat16
