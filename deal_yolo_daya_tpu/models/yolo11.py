@@ -16,6 +16,7 @@ For m/l/x all C3k2 blocks use the C3k inner module.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
@@ -146,10 +147,16 @@ def build_yolo11(
     dtype: jnp.dtype = jnp.float32,
     seed: int = 0,
 ):
-    """Create model + init variables. Returns (model, variables)."""
+    """Create model + init variables. Returns (model, variables).
+
+    init is jitted: one compiled program instead of thousands of eager ops
+    (matters on remote/tunneled TPU backends where each op is a round-trip).
+    """
     model = YOLO11(nc=nc, scale=scale, dtype=dtype)
     dummy = jnp.zeros((1, imgsz, imgsz, 3), dtype)
-    variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(seed), dummy
+    )
     return model, variables
 
 

@@ -1,11 +1,21 @@
 """Batched fixed-shape NMS for TPU.
 
-No dynamic shapes anywhere: candidates are pre-reduced with top_k, greedy
-suppression runs as a lax.fori_loop of max_det steps (exact greedy NMS — each
-step selects the best remaining box and suppresses its overlaps), outputs are
-padded to max_det with a validity count. Class-aware via the coordinate-offset
-trick. Replaces the torchvision NMS capability in the reference's dependency
-stack (SURVEY §2.2).
+Exact greedy NMS, formulated TPU-first. Greedy suppression over score-sorted
+candidates is the unique fixed point of
+
+    keep_i = valid_i and not any(j < i: keep_j and IoU(j, i) > thr)
+
+Instead of a max_det-length sequential loop (whose compile time scales with
+trip count on TPU backends), we precompute the K x K suppression matrix once
+and solve the recurrence by Jacobi iteration inside one lax.while_loop: each
+step is a boolean matrix-vector product (VPU-friendly), and the iteration
+count is the suppression-chain depth of the actual data (typically < 10),
+not K. Converges exactly to sequential greedy NMS.
+
+No dynamic shapes: candidates pre-reduced with top_k, outputs padded to
+max_det with a validity count. Class-aware via the coordinate-offset trick.
+Replaces the torchvision NMS capability in the reference's dependency stack
+(SURVEY §2.2).
 """
 
 from __future__ import annotations
@@ -16,7 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .boxes import bbox_iou
+from .boxes import box_iou_matrix
 
 MAX_WH = 7680.0
 
@@ -37,6 +47,7 @@ def _nms_single(
     best_cls = jnp.argmax(scores, axis=-1)
     valid = best_score >= conf_thres
 
+    # score-sorted candidate set (descending; ties keep anchor order)
     cand_scores, cand_idx = jax.lax.top_k(jnp.where(valid, best_score, -1.0), k)
     cand_boxes = boxes[cand_idx]
     cand_cls = best_cls[cand_idx]
@@ -46,33 +57,34 @@ def _nms_single(
     if not class_agnostic:
         offset_boxes = cand_boxes + (cand_cls[:, None].astype(jnp.float32) * MAX_WH)
 
-    def body(i, state):
-        avail, out_boxes, out_scores, out_cls, n_det = state
-        masked = jnp.where(avail, cand_scores, -1.0)
-        j = jnp.argmax(masked)
-        ok = masked[j] > 0
-        sel_box = offset_boxes[j]
-        iou = bbox_iou(sel_box[None, :], offset_boxes)
-        suppress = iou > iou_thres
-        avail = avail & ~(suppress & ok)
-        avail = avail.at[j].set(False)
-        out_boxes = out_boxes.at[i].set(jnp.where(ok, cand_boxes[j], 0.0))
-        out_scores = out_scores.at[i].set(jnp.where(ok, cand_scores[j], 0.0))
-        out_cls = out_cls.at[i].set(jnp.where(ok, cand_cls[j], -1))
-        n_det = n_det + ok.astype(jnp.int32)
-        return avail, out_boxes, out_scores, out_cls, n_det
+    # sup[j, i]: candidate j (higher score) suppresses candidate i
+    iou = box_iou_matrix(offset_boxes, offset_boxes)
+    lower = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T  # [j, i] with j < i
+    sup = (iou > iou_thres) & lower & cand_valid[:, None] & cand_valid[None, :]
 
-    init = (
-        cand_valid,
-        jnp.zeros((max_det, 4), jnp.float32),
-        jnp.zeros((max_det,), jnp.float32),
-        jnp.full((max_det,), -1, jnp.int32),
-        jnp.int32(0),
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < k)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(sup & keep[:, None], axis=0)
+        return cand_valid & ~suppressed, keep, it + 1
+
+    keep0 = cand_valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (cand_valid & ~jnp.any(sup, axis=0), keep0, jnp.int32(0))
     )
-    _, out_boxes, out_scores, out_cls, n_det = jax.lax.fori_loop(
-        0, max_det, body, init
-    )
-    return out_boxes, out_scores, out_cls, n_det
+
+    # outputs: kept candidates are already in score order; take first max_det
+    kept_scores = jnp.where(keep, cand_scores, -1.0)
+    out_scores, sel = jax.lax.top_k(kept_scores, max_det)
+    ok = out_scores > 0
+    out_boxes = jnp.where(ok[:, None], cand_boxes[sel], 0.0)
+    out_cls = jnp.where(ok, cand_cls[sel], -1)
+    out_scores = jnp.where(ok, out_scores, 0.0)
+    n_det = jnp.sum(ok.astype(jnp.int32))
+    return out_boxes, out_scores, out_cls.astype(jnp.int32), n_det
 
 
 @partial(

@@ -166,7 +166,10 @@ class Trainer:
     def _init_state(self):
         cfg = self.cfg
         dummy = jnp.zeros((1, cfg.imgsz, cfg.imgsz, 3), self.dtype)
-        variables = self.model.init(jax.random.PRNGKey(cfg.seed), dummy, train=False)
+        # jitted init: one compiled program, not thousands of eager ops
+        variables = jax.jit(lambda k: self.model.init(k, dummy, train=False))(
+            jax.random.PRNGKey(cfg.seed)
+        )
         self.optimizer = build_optimizer(self.opt_cfg, variables["params"])
         opt_state = self.optimizer.init(variables["params"])
         state = TrainState(
