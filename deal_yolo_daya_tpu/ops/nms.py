@@ -78,11 +78,17 @@ def _nms_single(
 
     # outputs: kept candidates are already in score order; take first max_det
     kept_scores = jnp.where(keep, cand_scores, -1.0)
-    out_scores, sel = jax.lax.top_k(kept_scores, max_det)
+    take = min(max_det, k)
+    out_scores, sel = jax.lax.top_k(kept_scores, take)
     ok = out_scores > 0
     out_boxes = jnp.where(ok[:, None], cand_boxes[sel], 0.0)
     out_cls = jnp.where(ok, cand_cls[sel], -1)
     out_scores = jnp.where(ok, out_scores, 0.0)
+    if take < max_det:  # fewer candidates than the requested max detections
+        pad = max_det - take
+        out_boxes = jnp.concatenate([out_boxes, jnp.zeros((pad, 4), out_boxes.dtype)])
+        out_scores = jnp.concatenate([out_scores, jnp.zeros((pad,), out_scores.dtype)])
+        out_cls = jnp.concatenate([out_cls, jnp.full((pad,), -1, out_cls.dtype)])
     n_det = jnp.sum(ok.astype(jnp.int32))
     return out_boxes, out_scores, out_cls.astype(jnp.int32), n_det
 
