@@ -67,6 +67,35 @@ def _hits_batch(boxes: jnp.ndarray, mask: jnp.ndarray, min_boxes: int, thr: jnp.
     return jax.vmap(lambda b, m: _row_hit(b, m, min_boxes, thr))(boxes, mask)
 
 
+def _high_iou_hits_numpy(
+    boxes: np.ndarray, mask: np.ndarray, min_boxes: int, thr: float, chunk: int = 4096
+) -> np.ndarray:
+    """Vectorized host implementation (same semantics as the device path)."""
+    n, m, _ = boxes.shape
+    out = np.zeros((n,), bool)
+    eye = np.eye(m, dtype=bool)
+    for s in range(0, n, chunk):
+        b = boxes[s : s + chunk]
+        mk = mask[s : s + chunk]
+        x1 = np.maximum(b[:, :, None, 0], b[:, None, :, 0])
+        y1 = np.maximum(b[:, :, None, 1], b[:, None, :, 1])
+        x2 = np.minimum(b[:, :, None, 2], b[:, None, :, 2])
+        y2 = np.minimum(b[:, :, None, 3], b[:, None, :, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area = (b[:, :, 2] - b[:, :, 0]) * (b[:, :, 3] - b[:, :, 1])
+        union = area[:, :, None] + area[:, None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iou = np.where((inter > 0) & (union != 0), inter / np.where(union != 0, union, 1), 0.0)
+        pair = mk[:, :, None] & mk[:, None, :] & ~eye
+        hit = (mk.sum(1) >= min_boxes) & np.any(pair & (iou >= thr), axis=(1, 2))
+        out[s : s + len(b)] = hit
+    return out
+
+
+# below this row count the XLA compile cost dominates; stay on host numpy
+JAX_MIN_ROWS = 20000
+
+
 def high_iou_hits(
     boxes: np.ndarray,
     mask: np.ndarray,
@@ -74,10 +103,17 @@ def high_iou_hits(
     iou_threshold: float = 0.98,
     chunk: int = 8192,
 ) -> np.ndarray:
-    """Per-row hit flags for the IoU quality filter, computed on-device in chunks."""
+    """Per-row hit flags for the IoU quality filter.
+
+    Large tables stream through the jitted device kernel in fixed-size
+    chunks (the million-row on-device path); small tables take the
+    vectorized numpy path, which beats paying an XLA compile.
+    """
     n = boxes.shape[0]
     if n == 0:
         return np.zeros((0,), dtype=bool)
+    if n < JAX_MIN_ROWS:
+        return _high_iou_hits_numpy(boxes, mask, min_boxes, iou_threshold)
     out = np.zeros((n,), dtype=bool)
     thr = jnp.float32(iou_threshold)
     for start in range(0, n, chunk):

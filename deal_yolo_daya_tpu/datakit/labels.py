@@ -88,8 +88,14 @@ def extract_boxes_with_labels(json_str) -> List[Tuple[str, float, float, float, 
         ptlist = obj.get("polygon", {}).get("ptList", [])
         if not ptlist:
             continue
-        xs = [p.get("x") for p in ptlist if isinstance(p, dict) and "x" in p]
-        ys = [p.get("y") for p in ptlist if isinstance(p, dict) and "y" in p]
+        xs = [
+            p["x"] for p in ptlist
+            if isinstance(p, dict) and p.get("x") is not None
+        ]
+        ys = [
+            p["y"] for p in ptlist
+            if isinstance(p, dict) and p.get("y") is not None
+        ]
         if not xs or not ys:
             continue
         boxes.append((label, min(xs), min(ys), max(xs), max(ys)))
@@ -115,8 +121,11 @@ def extract_two_point_boxes(json_str) -> List[Tuple[float, float, float, float]]
         p1, p2 = ptlist
         if not (
             isinstance(p1, dict) and isinstance(p2, dict)
-            and "x" in p1 and "y" in p1 and "x" in p2 and "y" in p2
+            and p1.get("x") is not None and p1.get("y") is not None
+            and p2.get("x") is not None and p2.get("y") is not None
         ):
+            # null/absent coordinates: skip this object, keep the rest
+            # (the reference aborts the whole row here — processor.py:364)
             continue
         boxes.append((
             min(p1["x"], p2["x"]),

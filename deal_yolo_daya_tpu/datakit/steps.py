@@ -349,8 +349,19 @@ def filter_by_box_count_and_iou(
         print(f"错误：缺少必要列 {NEW_LABEL_JSON_COL}")
         return
 
-    box_lists = [extract_two_point_boxes(v) for v in df[NEW_LABEL_JSON_COL].tolist()]
-    packed, mask = boxops.pack_boxes(box_lists)
+    rows = df[NEW_LABEL_JSON_COL].tolist()
+    native = None
+    try:
+        from ..runtime import scan_boxes_native
+
+        native = scan_boxes_native(rows, two_point_only=True)
+    except Exception:
+        native = None
+    if native is not None:
+        packed, mask, _, _ = native
+    else:
+        box_lists = [extract_two_point_boxes(v) for v in rows]
+        packed, mask = boxops.pack_boxes(box_lists)
     hits = boxops.high_iou_hits(packed, mask, min_boxes=min_boxes, iou_threshold=iou_threshold)
 
     Path(high_iou_csv).parent.mkdir(parents=True, exist_ok=True)

@@ -1,0 +1,104 @@
+"""Native runtime layer: C++ helpers loaded via ctypes.
+
+``labelscan`` is a multithreaded, escape-aware JSON scanner that extracts
+padded box arrays from whole annotation-string columns in one native pass —
+replacing the per-row json.loads of the datakit hot loops. Built on demand
+with g++ (cached .so next to the source); every consumer has a pure-Python
+fallback, so the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SO_PATH = _HERE / "liblabelscan.so"
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_BUILD_FAILED = False
+
+
+def _build() -> bool:
+    src = _HERE / "labelscan.cpp"
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        str(src), "-o", str(_SO_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _BUILD_FAILED
+    if _LIB is not None:
+        return _LIB
+    if _BUILD_FAILED or os.environ.get("DYD_NO_NATIVE"):
+        return None
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if not _SO_PATH.exists() or _SO_PATH.stat().st_mtime < (_HERE / "labelscan.cpp").stat().st_mtime:
+            if not _build():
+                _BUILD_FAILED = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO_PATH))
+        except OSError:
+            _BUILD_FAILED = True
+            return None
+        lib.scan_boxes.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
+        lib.scan_boxes.restype = None
+        _LIB = lib
+        return _LIB
+
+
+def scan_boxes_native(
+    rows: Sequence,
+    two_point_only: bool,
+    max_boxes: int = 64,
+    n_threads: Optional[int] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Extract (boxes (N,M,4) f32, mask (N,M) bool, counts (N,), wh (N,2))
+    from a column of annotation JSON strings. None if native lib unavailable.
+
+    two_point_only=True reproduces the IoU-filter extraction (exactly-2-point
+    ptLists only); False gives poly->bbox min/max semantics.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(rows)
+    encoded = [
+        (r.encode("utf-8") if isinstance(r, str) else None) for r in rows
+    ]
+    arr = (ctypes.c_char_p * n)(*encoded)
+    out_boxes = np.zeros((n, max_boxes, 4), np.float32)
+    out_mask = np.zeros((n, max_boxes), np.uint8)
+    out_counts = np.zeros((n,), np.int32)
+    out_wh = np.zeros((n, 2), np.float32)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.scan_boxes(
+        arr, n, int(two_point_only), max_boxes,
+        out_boxes, out_mask, out_counts, out_wh, n_threads,
+    )
+    return out_boxes, out_mask.astype(bool), out_counts, out_wh

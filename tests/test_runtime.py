@@ -1,0 +1,108 @@
+"""Native labelscan tests: parity with the Python parser + throughput sanity."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from deal_yolo_daya_tpu.datakit.labels import (
+    extract_boxes_with_labels,
+    extract_two_point_boxes,
+)
+from deal_yolo_daya_tpu.runtime import get_lib, scan_boxes_native
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native labelscan unavailable (no g++)"
+)
+
+
+def ann(objs, w=320, h=240, extra=None):
+    data = {"width": w, "height": h, "objects": [
+        {"name": n, "polygon": {"ptList": [{"x": x, "y": y} for x, y in pts]},
+         **(extra or {})}
+        for n, pts in objs]}
+    return json.dumps(data, ensure_ascii=False)
+
+
+CASES = [
+    ann([("猫", [(1, 2), (30, 40)])]),
+    ann([("a,b", [(5, 5), (10, 2), (7, 30)]), ("c", [(0, 0), (1, 1)])]),
+    ann([("tricky\"}]{[", [(3, 3), (9, 9)])]),          # braces inside strings
+    ann([("x", [(3, 3)])]),                                 # 1-point
+    ann([("neg", [(-5.5, -2.25), (10.125, 20.5)])]),
+    '{"objects": []}',
+    '{"width": 100}',
+    "not json at all {{{",
+    None,
+    "",
+    json.dumps({"objects": [{"name": "nopoly"}]}),
+    json.dumps({"objects": [{"name": "nullpt",
+                             "polygon": {"ptList": [{"x": None, "y": 5}, {"x": 1, "y": 2}]}}]}),
+]
+
+
+def test_two_point_parity():
+    out = scan_boxes_native(CASES, two_point_only=True, max_boxes=8)
+    boxes, mask, counts, wh = out
+    for i, row in enumerate(CASES):
+        expected = extract_two_point_boxes(row)
+        assert counts[i] == len(expected), (i, row)
+        got = boxes[i][mask[i]]
+        np.testing.assert_allclose(got, np.asarray(expected, np.float32).reshape(-1, 4), atol=1e-5)
+
+
+def test_polygon_bbox_parity():
+    out = scan_boxes_native(CASES, two_point_only=False, max_boxes=8)
+    boxes, mask, counts, wh = out
+    for i, row in enumerate(CASES):
+        expected = [b[1:] for b in extract_boxes_with_labels(row)
+                    if b[0]]  # labeled objects only
+        # native mode does not require a name -> it may return more boxes
+        # than the labeled extraction; compare against name-agnostic parse
+        import json as _json
+
+        try:
+            data = _json.loads(row) if isinstance(row, str) else None
+        except Exception:
+            data = None
+        ref = []
+        if isinstance(data, dict):
+            for obj in data.get("objects", []):
+                if not isinstance(obj, dict):
+                    continue
+                ptlist = (obj.get("polygon") or {}).get("ptList", [])
+                xs = [p["x"] for p in ptlist
+                      if isinstance(p, dict) and p.get("x") is not None]
+                ys = [p["y"] for p in ptlist
+                      if isinstance(p, dict) and p.get("y") is not None]
+                if xs and ys:
+                    ref.append((min(xs), min(ys), max(xs), max(ys)))
+        assert counts[i] == len(ref), (i, row)
+        got = boxes[i][mask[i]]
+        np.testing.assert_allclose(got, np.asarray(ref, np.float32).reshape(-1, 4), atol=1e-4)
+
+
+def test_width_height_extraction():
+    out = scan_boxes_native([ann([("a", [(0, 0), (1, 1)])], w=777, h=555)],
+                            two_point_only=True)
+    _, _, _, wh = out
+    np.testing.assert_allclose(wh[0], [777, 555])
+    out2 = scan_boxes_native(['{"objects": []}'], two_point_only=True)
+    np.testing.assert_allclose(out2[3][0], [-1, -1])
+
+
+def test_throughput_vs_python():
+    rows = [ann([("c" + str(i % 5), [(i % 50, i % 40), (i % 50 + 20, i % 40 + 30)]),
+                 ("d", [(5, 5), (25, 35)])]) for i in range(20000)]
+    t0 = time.perf_counter()
+    native = scan_boxes_native(rows, two_point_only=True, max_boxes=8)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    py = [extract_two_point_boxes(r) for r in rows]
+    t_py = time.perf_counter() - t0
+    assert native[2].sum() == sum(len(b) for b in py)
+    # informative: native should win clearly on this workload
+    print(f"native {t_native*1000:.1f}ms vs python {t_py*1000:.1f}ms "
+          f"({t_py/max(t_native,1e-9):.1f}x)")
+    assert t_native < t_py
