@@ -33,3 +33,30 @@ def shard_batch(mesh: Mesh, batch_tree: Any) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sh = replicate_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def tp_param_shardings(params: Any, mesh: Mesh, min_channels: int = 256) -> Any:
+    """Tensor-parallel NamedShardings for a conv param tree via GSPMD.
+
+    Kernels whose output-channel dim is wide enough (and divisible by the
+    `model` axis) are sharded on that last dim; XLA's sharding propagation
+    then channel-shards the corresponding activations and inserts the
+    needed collectives over ICI. Everything else (biases, BN, narrow convs)
+    stays replicated. This targets the yolo11x/imgsz-1280 activation-memory
+    pressure called out in SURVEY §2.3; with model axis == 1 it degenerates
+    to full replication.
+    """
+    n_model = mesh.shape.get("model", 1)
+
+    def spec_for(leaf):
+        shape = getattr(leaf, "shape", ())
+        if (
+            n_model > 1
+            and len(shape) == 4                      # HWIO conv kernel
+            and shape[-1] >= min_channels
+            and shape[-1] % n_model == 0
+        ):
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, params)

@@ -83,6 +83,9 @@ class TrainConfig:
     conf: float = 0.001        # val confidence threshold
     iou: float = 0.7           # NMS IoU threshold
     max_det: int = 300
+    # buffer donation halves peak state memory but some TPU backends (axon)
+    # compile donated step graphs pathologically slowly — default off
+    donate: bool = False
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -170,18 +173,27 @@ class Trainer:
         variables = jax.jit(lambda k: self.model.init(k, dummy, train=False))(
             jax.random.PRNGKey(cfg.seed)
         )
-        self.optimizer = build_optimizer(self.opt_cfg, variables["params"])
-        opt_state = self.optimizer.init(variables["params"])
-        state = TrainState(
-            params=variables["params"],
-            batch_stats=variables["batch_stats"],
+        rep = replicate_sharding(self.mesh)
+        # DP: params replicated. With a model axis > 1, wide conv kernels are
+        # channel-sharded (tensor parallel via GSPMD propagation).
+        from ..parallel.sharding import tp_param_shardings
+
+        param_sh = tp_param_shardings(variables["params"], self.mesh)
+        self._param_sh = param_sh
+        params = jax.tree_util.tree_map(
+            jax.device_put, variables["params"], param_sh
+        )
+        self.optimizer = build_optimizer(self.opt_cfg, params)
+        # opt/EMA leaves inherit param shardings through eager propagation
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(
+            params=params,
+            batch_stats=jax.device_put(variables["batch_stats"], rep),
             opt_state=opt_state,
             # real copy: EMA must not alias params (step donation forbids it)
-            ema_params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
-            step=jnp.zeros((), jnp.int32),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            step=jax.device_put(jnp.zeros((), jnp.int32), rep),
         )
-        rep = replicate_sharding(self.mesh)
-        self.state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
         self.start_epoch = 0
         if cfg.resume:
             self._try_resume()
@@ -215,11 +227,12 @@ class Trainer:
             new_state = TrainState(new_params, new_stats, new_opt, new_ema, new_step)
             return new_state, total, parts
 
+        # state shardings are inherited from the placed arguments (params may
+        # be TP-sharded on the model axis; batch always sharded on data)
         self.train_step = jax.jit(
             train_step,
-            in_shardings=(rep, data_sh, data_sh, data_sh, data_sh),
-            out_shardings=(rep, rep, rep),
-            donate_argnums=(0,),
+            in_shardings=(None, data_sh, data_sh, data_sh, data_sh),
+            donate_argnums=(0,) if self.cfg.donate else (),
         )
 
         conf, iou_t, max_det = self.cfg.conf, self.cfg.iou, self.cfg.max_det
@@ -241,7 +254,7 @@ class Trainer:
 
         self.eval_step = jax.jit(
             eval_step,
-            in_shardings=(rep, rep, data_sh, data_sh, data_sh, data_sh),
+            in_shardings=(None, None, data_sh, data_sh, data_sh, data_sh),
         )
 
     # ------------------------------------------------------------------ ckpt
@@ -277,12 +290,17 @@ class Trainer:
         with ocp.PyTreeCheckpointer() as ckptr:
             ckpt = ckptr.restore(resume_path)
         rep = replicate_sharding(self.mesh)
-        put = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), rep), t)
+        put_rep = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), rep), t
+        )
+        put_params = lambda t: jax.tree_util.tree_map(
+            lambda x, sh: jax.device_put(jnp.asarray(x), sh), t, self._param_sh
+        )
         self.state = TrainState(
-            params=put(ckpt["params"]),
-            batch_stats=put(ckpt["batch_stats"]),
+            params=put_params(ckpt["params"]),
+            batch_stats=put_rep(ckpt["batch_stats"]),
             opt_state=self.state.opt_state,
-            ema_params=put(ckpt["ema_params"]),
+            ema_params=put_params(ckpt["ema_params"]),
             step=jnp.asarray(ckpt["step"], jnp.int32),
         )
         self.start_epoch = int(ckpt.get("epoch", 0)) + 1

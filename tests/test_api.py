@@ -1,0 +1,64 @@
+"""api.YOLO surface tests: predict shapes, coordinate mapping, plot/save."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from deal_yolo_daya_tpu.api import YOLO, Detections
+
+
+def test_predict_on_array_and_file(tmp_path):
+    model = YOLO("yolo11n", nc=3, imgsz=64)
+    img = np.random.default_rng(0).integers(0, 255, (48, 80, 3), dtype=np.uint8)
+    p = tmp_path / "im.png"
+    Image.fromarray(img).save(p)
+
+    dets_arr = model.predict(img, conf=0.9)
+    dets_file = model.predict(str(p), conf=0.9)
+    assert len(dets_arr) == 1 and len(dets_file) == 1
+    d = dets_file[0]
+    assert d.path == str(p)
+    assert d.image.shape == (48, 80, 3)
+    # boxes (possibly none at conf .9 untrained) are in original-image space
+    if len(d):
+        assert (d.boxes[:, [0, 2]] <= 80).all()
+        assert (d.boxes[:, [1, 3]] <= 48).all()
+
+
+def test_predict_directory_batching(tmp_path):
+    model = YOLO("yolo11n", nc=2, imgsz=64)
+    for i in range(3):
+        Image.fromarray(
+            np.full((32, 32, 3), 90 + i, np.uint8)
+        ).save(tmp_path / f"{i}.jpg")
+    dets = model.predict(tmp_path, conf=0.99, batch_size=2)
+    assert len(dets) == 3
+    assert [Path(d.path).name for d in dets] == ["0.jpg", "1.jpg", "2.jpg"]
+
+
+def test_detections_plot_and_save(tmp_path):
+    img = np.zeros((40, 40, 3), np.uint8)
+    d = Detections(
+        path=None, image=img,
+        boxes=np.array([[5, 5, 30, 30]], np.float32),
+        scores=np.array([0.8], np.float32),
+        classes=np.array([0]),
+        names=["猫"],
+    )
+    out = d.plot()
+    assert out.shape == img.shape
+    assert out.sum() > 0  # something was drawn
+    path = d.save(tmp_path / "out.jpg")
+    assert Path(path).stat().st_size > 0
+
+
+def test_parse_scale_variants():
+    from deal_yolo_daya_tpu.train.trainer import parse_scale
+
+    assert parse_scale("yolo11n") == "n"
+    assert parse_scale("yolo11x.yaml") == "x"
+    assert parse_scale("/models/yolo11m.yaml") == "m"
+    assert parse_scale("s") == "s"
+    assert parse_scale("unknown_model") == "n"

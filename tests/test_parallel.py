@@ -83,6 +83,71 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_tp_sharding_spec_selection():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from deal_yolo_daya_tpu.parallel.mesh import create_mesh
+    from deal_yolo_daya_tpu.parallel.sharding import tp_param_shardings
+
+    mesh = create_mesh(4, 2)
+    params = {
+        "wide": {"kernel": jnp.zeros((3, 3, 128, 256))},
+        "narrow": {"kernel": jnp.zeros((3, 3, 16, 32))},
+        "bn": {"scale": jnp.zeros((256,))},
+    }
+    sh = tp_param_shardings(params, mesh, min_channels=256)
+    assert sh["wide"]["kernel"].spec == P(None, None, None, "model")
+    assert sh["narrow"]["kernel"].spec == P()
+    assert sh["bn"]["scale"].spec == P()
+    # model axis 1 -> everything replicated
+    mesh1 = create_mesh(8, 1)
+    sh1 = tp_param_shardings(params, mesh1, min_channels=256)
+    assert sh1["wide"]["kernel"].spec == P()
+
+
+def test_tp_forward_matches_replicated():
+    """Channel-sharded kernels (GSPMD TP) must reproduce replicated numerics."""
+    import jax
+    import jax.numpy as jnp
+
+    from deal_yolo_daya_tpu.models.yolo11 import YOLO11
+    from deal_yolo_daya_tpu.parallel.mesh import create_mesh
+    from deal_yolo_daya_tpu.parallel.sharding import (
+        batch_sharding, replicate_sharding, tp_param_shardings,
+    )
+
+    imgsz, nc = 32, 2
+    model = YOLO11(nc=nc, scale="n")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)), train=False)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0.4, 0.2, (4, imgsz, imgsz, 3)), jnp.float32
+    )
+
+    def fwd(params, images):
+        box, cls = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            images, train=False,
+        )
+        return box[0], cls[0]
+
+    ref_box, ref_cls = fwd(variables["params"], x)
+
+    mesh = create_mesh(4, 2)
+    param_sh = tp_param_shardings(variables["params"], mesh, min_channels=64)
+    n_sharded = sum(
+        1 for s in jax.tree_util.tree_leaves(param_sh)
+        if s.spec != jax.sharding.PartitionSpec()
+    )
+    assert n_sharded > 0, "expected at least one TP-sharded kernel"
+    params_tp = jax.tree_util.tree_map(jax.device_put, variables["params"], param_sh)
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    tp_box, tp_cls = jax.jit(fwd)(params_tp, x_sh)
+    np.testing.assert_allclose(np.asarray(ref_box), np.asarray(tp_box), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref_cls), np.asarray(tp_cls), atol=2e-5)
+
+
 def test_graft_entry_dryrun_multichip():
     import sys
 
