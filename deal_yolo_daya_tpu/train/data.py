@@ -11,6 +11,7 @@ thread keeps the device fed (SURVEY §7 hard part (e)).
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import queue
 import threading
 from dataclasses import dataclass, field
@@ -97,6 +98,20 @@ class YoloDataset:
     def nc(self) -> int:
         return len(self.names)
 
+    def enable_cache(self):
+        """Cache decoded images in RAM (the reference's `cache` train flag)."""
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def image(self, idx: int) -> np.ndarray:
+        cache = getattr(self, "_cache", None)
+        if cache is not None:
+            img = cache.get(idx)
+            if img is None:
+                img = load_image(self.images[idx])
+                cache[idx] = img
+            return img
+        return load_image(self.images[idx])
+
     def boxes_xyxy(self, idx: int, w: int, h: int) -> Tuple[np.ndarray, np.ndarray]:
         """Denormalized xyxy pixel boxes + class ids for image idx."""
         lab = self.labels[idx]
@@ -177,7 +192,7 @@ class DataLoader:
             idxs = [idx, *others.tolist()]
             imgs, bxs, cls = [], [], []
             for j in idxs:
-                img = load_image(self.ds.images[j])
+                img = self.ds.image(j)
                 h, w = img.shape[:2]
                 b, c = self.ds.boxes_xyxy(j, w, h)
                 imgs.append(img)
@@ -186,7 +201,7 @@ class DataLoader:
             img, boxes, classes = mosaic4(imgs, bxs, cls, self.imgsz, rng, self.cfg)
             meta = None
         else:
-            img = load_image(self.ds.images[idx])
+            img = self.ds.image(idx)
             h, w = img.shape[:2]
             boxes, classes = self.ds.boxes_xyxy(idx, w, h)
             canvas, r, (px, py) = letterbox_numpy(img, self.imgsz)
@@ -205,38 +220,48 @@ class DataLoader:
             img, boxes = flips(img, boxes, rng, self.cfg)
         return img, boxes, classes, meta
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
+    def epoch(self, epoch_idx: int = 0, n_workers: int = 8) -> Iterator[Batch]:
         n = len(self.ds)
         if n == 0:
             return
         rng = np.random.default_rng(self.seed + 1000 * epoch_idx)
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         nb = len(self)
-        for b in range(nb):
-            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            if len(idxs) == 0:
-                break
-            # pad final partial batch by wrapping (masked out downstream by gt)
-            while len(idxs) < self.batch_size:
-                idxs = np.concatenate([idxs, order[: self.batch_size - len(idxs)]])
-            images, gtb, gtc, gtm, metas = [], [], [], [], []
-            for i in idxs:
-                img, boxes, classes, meta = self._load_one(int(i), rng)
-                pb, pc, pm = _pad_labels(boxes, classes, self.max_boxes)
-                # uint8 to the device (4x less host->device traffic); the
-                # train step casts+normalizes on-chip.
-                images.append(np.ascontiguousarray(img, dtype=np.uint8))
-                gtb.append(pb)
-                gtc.append(pc)
-                gtm.append(pm)
-                metas.append(meta)
-            yield Batch(
-                images=np.stack(images),
-                gt_boxes=np.stack(gtb),
-                gt_classes=np.stack(gtc),
-                gt_mask=np.stack(gtm),
-                meta=metas if self.keep_meta else None,
+
+        def build_one(args):
+            # per-sample deterministic RNG -> parallel-safe, reproducible
+            slot, i = args
+            sample_rng = np.random.default_rng(
+                (self.seed, epoch_idx, int(slot)) if self.augment
+                else (self.seed, int(i))
             )
+            img, boxes, classes, meta = self._load_one(int(i), sample_rng)
+            pb, pc, pm = _pad_labels(boxes, classes, self.max_boxes)
+            # uint8 to the device (4x less host->device traffic); the train
+            # step casts+normalizes on-chip.
+            return np.ascontiguousarray(img, dtype=np.uint8), pb, pc, pm, meta
+
+        with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for b in range(nb):
+                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                if len(idxs) == 0:
+                    break
+                # pad final partial batch by wrapping (masked downstream)
+                while len(idxs) < self.batch_size:
+                    idxs = np.concatenate(
+                        [idxs, order[: self.batch_size - len(idxs)]]
+                    )
+                slots = [(b * self.batch_size + j, i) for j, i in enumerate(idxs)]
+                # decode/augment in parallel (cv2/PIL release the GIL)
+                results = list(pool.map(build_one, slots))
+                images, gtb, gtc, gtm, metas = zip(*results)
+                yield Batch(
+                    images=np.stack(images),
+                    gt_boxes=np.stack(gtb),
+                    gt_classes=np.stack(gtc),
+                    gt_mask=np.stack(gtm),
+                    meta=list(metas) if self.keep_meta else None,
+                )
 
 
 class Prefetcher:
