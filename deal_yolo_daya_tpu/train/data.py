@@ -124,6 +124,18 @@ class YoloDataset:
 
 
 @dataclass
+class RawBatch:
+    """Host-minimal batch for the on-device augmentation path: images are
+    keep-ratio resized into a fixed (S, S) buffer, top-left anchored."""
+
+    images: np.ndarray        # (B, S, S, 3) uint8 RGB, fill 114
+    hw: np.ndarray            # (B, 2) float32 content (h, w) inside buffer
+    gt_boxes: np.ndarray      # (B, M, 4) xyxy in buffer coords
+    gt_classes: np.ndarray    # (B, M) int32
+    gt_mask: np.ndarray       # (B, M) bool
+
+
+@dataclass
 class Batch:
     images: np.ndarray        # (B, S, S, 3) uint8 RGB
     gt_boxes: np.ndarray      # (B, M, 4) xyxy pixels in letterboxed frame
@@ -261,6 +273,51 @@ class DataLoader:
                     gt_classes=np.stack(gtc),
                     gt_mask=np.stack(gtm),
                     meta=list(metas) if self.keep_meta else None,
+                )
+
+
+    def epoch_raw(self, epoch_idx: int = 0, n_workers: int = 8) -> Iterator[RawBatch]:
+        """Decode-and-resize-only epoch for device-side augmentation: the host
+        does one keep-ratio resize per image; mosaic/affine/HSV/flip happen on
+        the TPU (train.device_augment.augment_batch)."""
+        n = len(self.ds)
+        if n == 0:
+            return
+        rng = np.random.default_rng(self.seed + 1000 * epoch_idx)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        nb = len(self)
+        s = self.imgsz
+
+        def build_one(i):
+            img = self.ds.image(int(i))
+            h0, w0 = img.shape[:2]
+            img, r = resize_keep_ratio(img, s)
+            h, w = img.shape[:2]
+            buf = np.full((s, s, 3), 114, np.uint8)
+            buf[:h, :w] = img
+            boxes, classes = self.ds.boxes_xyxy(int(i), w0, h0)
+            if len(boxes):
+                boxes = boxes * r
+            pb, pc, pm = _pad_labels(boxes, classes, self.max_boxes)
+            return buf, np.float32((h, w)), pb, pc, pm
+
+        with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for b in range(nb):
+                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                if len(idxs) == 0:
+                    break
+                while len(idxs) < self.batch_size:
+                    idxs = np.concatenate(
+                        [idxs, order[: self.batch_size - len(idxs)]]
+                    )
+                results = list(pool.map(build_one, idxs))
+                images, hw, gtb, gtc, gtm = zip(*results)
+                yield RawBatch(
+                    images=np.stack(images),
+                    hw=np.stack(hw),
+                    gt_boxes=np.stack(gtb),
+                    gt_classes=np.stack(gtc),
+                    gt_mask=np.stack(gtm),
                 )
 
 

@@ -87,6 +87,9 @@ class TrainConfig:
     # buffer donation halves peak state memory but some TPU backends (axon)
     # compile donated step graphs pathologically slowly — default off
     donate: bool = False
+    # run mosaic/affine/HSV/flip on the TPU (host does decode+resize only);
+    # the north-star input pipeline for hosts with few cores
+    device_augment: bool = False
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -128,6 +131,10 @@ class Trainer:
         self.names = self.train_ds.names or [str(i) for i in range(self.nc)]
 
         self.mesh = mesh if mesh is not None else mesh_from_spec(config.device or None)
+        # On a single device, GSPMD-partitioned executables run ~17x slower
+        # than plain jit on the axon backend (PERF.md); skip all sharding
+        # machinery unless there are actually multiple chips.
+        self.single_device = self.mesh.devices.size == 1
         n_data = self.mesh.shape["data"]
         if config.batch % n_data != 0:
             config.batch = max(n_data, config.batch // n_data * n_data)
@@ -177,26 +184,34 @@ class Trainer:
         variables = jax.jit(lambda k: self.model.init(k, dummy, train=False))(
             jax.random.PRNGKey(cfg.seed)
         )
-        rep = replicate_sharding(self.mesh)
-        # DP: params replicated. With a model axis > 1, wide conv kernels are
-        # channel-sharded (tensor parallel via GSPMD propagation).
-        from ..parallel.sharding import tp_param_shardings
+        if self.single_device:
+            params = variables["params"]
+            self._param_sh = None
+            batch_stats = variables["batch_stats"]
+            step0 = jnp.zeros((), jnp.int32)
+        else:
+            rep = replicate_sharding(self.mesh)
+            # DP: params replicated. With a model axis > 1, wide conv kernels
+            # are channel-sharded (tensor parallel via GSPMD propagation).
+            from ..parallel.sharding import tp_param_shardings
 
-        param_sh = tp_param_shardings(variables["params"], self.mesh)
-        self._param_sh = param_sh
-        params = jax.tree_util.tree_map(
-            jax.device_put, variables["params"], param_sh
-        )
+            param_sh = tp_param_shardings(variables["params"], self.mesh)
+            self._param_sh = param_sh
+            params = jax.tree_util.tree_map(
+                jax.device_put, variables["params"], param_sh
+            )
+            batch_stats = jax.device_put(variables["batch_stats"], rep)
+            step0 = jax.device_put(jnp.zeros((), jnp.int32), rep)
         self.optimizer = build_optimizer(self.opt_cfg, params)
         # opt/EMA leaves inherit param shardings through eager propagation
         opt_state = self.optimizer.init(params)
         self.state = TrainState(
             params=params,
-            batch_stats=jax.device_put(variables["batch_stats"], rep),
+            batch_stats=batch_stats,
             opt_state=opt_state,
             # real copy: EMA must not alias params (step donation forbids it)
             ema_params=jax.tree_util.tree_map(jnp.copy, params),
-            step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+            step=step0,
         )
         self.start_epoch = 0
         if cfg.resume:
@@ -205,10 +220,11 @@ class Trainer:
     def _build_steps(self):
         model, loss_cfg, imgsz = self.model, self.loss_cfg, self.cfg.imgsz
         optimizer = self.optimizer
-        rep = replicate_sharding(self.mesh)
-        data_sh = batch_sharding(self.mesh)
+        # single device: plain jit (sharding machinery is a 17x slowdown on
+        # the axon backend); multi-device: mesh-annotated shardings
+        data_sh = None if self.single_device else batch_sharding(self.mesh)
 
-        def train_step(state: TrainState, images, gt_boxes, gt_classes, gt_mask):
+        def train_step(state: TrainState, loss_acc, images, gt_boxes, gt_classes, gt_mask):
             x = images.astype(self.dtype) / 255.0
 
             def loss_fn(params):
@@ -229,15 +245,57 @@ class Trainer:
             new_step = state.step + 1
             new_ema = ema_update(state.ema_params, new_params, new_step)
             new_state = TrainState(new_params, new_stats, new_opt, new_ema, new_step)
-            return new_state, total, parts
+            # loss accumulation INSIDE the jit: the step loop must contain no
+            # eager device ops at all (each costs a tunnel round-trip; an
+            # eager accumulate chain serialized the whole epoch — PERF.md)
+            new_acc = jax.tree_util.tree_map(jnp.add, loss_acc, parts)
+            return new_state, total, new_acc
 
         # state shardings are inherited from the placed arguments (params may
         # be TP-sharded on the model axis; batch always sharded on data)
+        jit_kwargs = {} if self.single_device else {
+            "in_shardings": (None, None, data_sh, data_sh, data_sh, data_sh)
+        }
         self.train_step = jax.jit(
             train_step,
-            in_shardings=(None, data_sh, data_sh, data_sh, data_sh),
-            donate_argnums=(0,) if self.cfg.donate else (),
+            donate_argnums=(0, 1) if self.cfg.donate else (),
+            **jit_kwargs,
         )
+
+        def zero_loss_acc():
+            zeros = {"box_loss": jnp.zeros(()), "cls_loss": jnp.zeros(()),
+                     "dfl_loss": jnp.zeros(()), "num_fg": jnp.zeros(())}
+            if self.single_device:
+                return zeros
+            return jax.device_put(zeros, replicate_sharding(self.mesh))
+
+        self.zero_loss_acc = zero_loss_acc
+
+        # fused on-device augmentation + train step (raw-batch path)
+        from .device_augment import DeviceAugConfig, augment_batch
+
+        dev_aug_cfg = DeviceAugConfig(
+            mosaic=self.cfg.mosaic, scale=self.cfg.scale,
+            translate=self.cfg.translate, hsv_h=self.cfg.hsv_h,
+            hsv_s=self.cfg.hsv_s, hsv_v=self.cfg.hsv_v,
+            fliplr=self.cfg.fliplr, flipud=self.cfg.flipud,
+        )
+
+        # kept as a SEPARATE jit from the train step: fusing them into one
+        # program sends the axon compiler into a tailspin (PERF.md); as two
+        # dispatches each compiles in seconds and the extra HBM round-trip of
+        # one uint8 batch is negligible.
+        def device_augment_step(images, hw, gt_boxes, gt_classes, gt_mask, seed):
+            key = jax.random.PRNGKey(seed)  # key built in-jit (no eager ops)
+            return augment_batch(
+                images, hw, gt_boxes, gt_classes, gt_mask, key, imgsz,
+                dev_aug_cfg, max_boxes=self.cfg.max_boxes,
+            )
+
+        aug_kwargs = {} if self.single_device else {
+            "in_shardings": (data_sh, data_sh, data_sh, data_sh, data_sh, None)
+        }
+        self.device_augment_step = jax.jit(device_augment_step, **aug_kwargs)
 
         conf, iou_t, max_det = self.cfg.conf, self.cfg.iou, self.cfg.max_det
 
@@ -256,10 +314,10 @@ class Trainer:
             )
             return det, total, parts
 
-        self.eval_step = jax.jit(
-            eval_step,
-            in_shardings=(None, None, data_sh, data_sh, data_sh, data_sh),
-        )
+        eval_kwargs = {} if self.single_device else {
+            "in_shardings": (None, None, data_sh, data_sh, data_sh, data_sh)
+        }
+        self.eval_step = jax.jit(eval_step, **eval_kwargs)
 
     # ------------------------------------------------------------------ ckpt
 
@@ -293,13 +351,17 @@ class Trainer:
             return
         with ocp.PyTreeCheckpointer() as ckptr:
             ckpt = ckptr.restore(resume_path)
-        rep = replicate_sharding(self.mesh)
-        put_rep = lambda t: jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), rep), t
-        )
-        put_params = lambda t: jax.tree_util.tree_map(
-            lambda x, sh: jax.device_put(jnp.asarray(x), sh), t, self._param_sh
-        )
+        if self.single_device:
+            put_rep = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+            put_params = put_rep
+        else:
+            rep = replicate_sharding(self.mesh)
+            put_rep = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), rep), t
+            )
+            put_params = lambda t: jax.tree_util.tree_map(
+                lambda x, sh: jax.device_put(jnp.asarray(x), sh), t, self._param_sh
+            )
         self.state = TrainState(
             params=put_params(ckpt["params"]),
             batch_stats=put_rep(ckpt["batch_stats"]),
@@ -314,7 +376,7 @@ class Trainer:
 
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg
-        data_sh = batch_sharding(self.mesh)
+        data_sh = None if self.single_device else batch_sharding(self.mesh)
         best_fit = -1.0
         best_epoch = -1
         t0 = time.time()
@@ -325,25 +387,44 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.epochs):
             if cfg.close_mosaic and cfg.epochs - epoch <= cfg.close_mosaic:
                 self.train_loader.mosaic_off = True
-            loss_acc = None
+            loss_acc = self.zero_loss_acc()
             n_steps = 0
             epoch_t0 = time.time()
-            for batch in Prefetcher(self.train_loader.epoch(epoch), depth=cfg.workers):
-                args = jax.device_put(
-                    (batch.images, batch.gt_boxes, batch.gt_classes, batch.gt_mask),
-                    data_sh,
+            use_device_aug = cfg.device_augment and not self.train_loader.mosaic_off
+            if use_device_aug:
+                epoch_iter = Prefetcher(
+                    self.train_loader.epoch_raw(epoch), depth=cfg.workers
                 )
-                self.state, total, parts = self.train_step(self.state, *args)
+            else:
+                epoch_iter = Prefetcher(
+                    self.train_loader.epoch(epoch), depth=cfg.workers
+                )
+            for batch in epoch_iter:
+                if use_device_aug:
+                    args = jax.device_put(
+                        (batch.images, batch.hw, batch.gt_boxes,
+                         batch.gt_classes, batch.gt_mask),
+                        data_sh,
+                    )
+                    seed = np.uint32((cfg.seed << 20) + epoch * 16384 + n_steps)
+                    aug = self.device_augment_step(*args, seed)
+                    self.state, total, loss_acc = self.train_step(
+                        self.state, loss_acc, *aug
+                    )
+                else:
+                    args = jax.device_put(
+                        (batch.images, batch.gt_boxes, batch.gt_classes,
+                         batch.gt_mask),
+                        data_sh,
+                    )
+                    self.state, total, loss_acc = self.train_step(
+                        self.state, loss_acc, *args
+                    )
                 n_steps += 1
-                # accumulate on device: no host sync inside the step loop
-                # (a blocking transfer per step costs ~35ms on tunneled TPUs)
-                loss_acc = parts if loss_acc is None else jax.tree_util.tree_map(
-                    jnp.add, loss_acc, parts
-                )
             losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
-            if loss_acc is not None:
+            if n_steps:
                 for k in losses:
-                    losses[k] = float(loss_acc[k]) / max(n_steps, 1)
+                    losses[k] = float(loss_acc[k]) / n_steps
             lr_now = float(self.lr_fn(self.state.step))
 
             metrics = {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0}
@@ -399,7 +480,7 @@ class Trainer:
 
     def validate(self, save_artifacts: bool = False, use_ema: bool = True):
         cfg = self.cfg
-        data_sh = batch_sharding(self.mesh)
+        data_sh = None if self.single_device else batch_sharding(self.mesh)
         params = self.state.ema_params if use_ema else self.state.params
         det_metrics = DetMetrics(nc=self.nc)
         val_losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
