@@ -16,6 +16,17 @@ def test_yolo11n_param_count_matches_ultralytics():
     assert param_count(variables) == 2_624_080 - 16
 
 
+@pytest.mark.parametrize(
+    "scale,expected",
+    [("s", 9_458_752), ("m", 20_114_688), ("l", 25_372_160), ("x", 56_966_176)],
+)
+def test_all_scales_param_parity(scale, expected):
+    # every scale matches the ultralytics detect-model param count minus the
+    # 16 fixed DFL projection weights
+    _, variables = build_yolo11(scale, nc=80, imgsz=64)
+    assert param_count(variables) == expected - 16
+
+
 def test_forward_shapes_and_strides():
     model, variables = build_yolo11("n", nc=7, imgsz=128)
     x = jnp.zeros((2, 128, 128, 3))
