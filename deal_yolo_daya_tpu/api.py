@@ -27,15 +27,22 @@ class Detections:
         return len(self.boxes)
 
     def plot(self) -> np.ndarray:
-        """Annotated copy of the image (red boxes + class/conf labels)."""
+        """Annotated copy of the image (red boxes + class/conf labels,
+        CJK-capable font fallback like the pipeline visualizer)."""
         from PIL import Image, ImageDraw
+
+        from .datakit.visualize import _get_font
 
         img = Image.fromarray(self.image)
         draw = ImageDraw.Draw(img)
+        font = _get_font(size=14)
         for (x1, y1, x2, y2), s, c in zip(self.boxes, self.scores, self.classes):
             name = self.names[int(c)] if 0 <= int(c) < len(self.names) else str(int(c))
             draw.rectangle([x1, y1, x2, y2], outline=(255, 64, 64), width=2)
-            draw.text((x1 + 2, max(y1 - 12, 0)), f"{name} {s:.2f}", fill=(255, 255, 0))
+            draw.text(
+                (x1 + 2, max(y1 - 12, 0)), f"{name} {s:.2f}",
+                fill=(255, 255, 0), font=font,
+            )
         return np.asarray(img)
 
     def save(self, path):

@@ -19,10 +19,10 @@ from .download import prefetch_images
 from .labels import LABEL_JSON_COL, NEW_LABEL_JSON_COL, parse_data_objects
 
 
-def _get_font():
+def _get_font(size: int = 48):
     for name in ("simhei.ttf", "Arial Unicode.ttf"):
         try:
-            return ImageFont.truetype(name, 48)
+            return ImageFont.truetype(name, size)
         except Exception:
             continue
     return ImageFont.load_default()
