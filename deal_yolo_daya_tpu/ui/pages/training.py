@@ -277,7 +277,7 @@ def render_training_platform():
     # -------------------------------------------------- results
     st.markdown("---")
     st.markdown("**训练结果可视化**")
-    run_dirs = collect_run_dirs(project if "project" in dir() else str(PLATFORM_ROOT / "runs"))
+    run_dirs = collect_run_dirs(project or str(PLATFORM_ROOT / "runs"))
     if st.session_state.get("train_last_run"):
         last = Path(st.session_state["train_last_run"])
         if last.exists() and last not in run_dirs:
