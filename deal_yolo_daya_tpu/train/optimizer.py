@@ -26,6 +26,7 @@ class OptimizerConfig:
     momentum: float = 0.937
     weight_decay: float = 5e-4
     warmup_epochs: float = 3.0
+    warmup_bias_lr: float = 0.1  # bias group warms DOWN from here to lr0
     cos_lr: bool = False
     epochs: int = 100
     steps_per_epoch: int = 100
@@ -41,13 +42,19 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
-def lr_schedule(cfg: OptimizerConfig):
+def lr_schedule(cfg: OptimizerConfig, warmup_start: float = 0.0):
+    """Warmup (linear from warmup_start to lr0) then linear/cosine decay.
+
+    warmup_start=0 is the weight/BN group; the bias group passes
+    cfg.warmup_bias_lr (it warms DOWN from 0.1 — the standard YOLO recipe).
+    """
     warmup_steps = max(int(cfg.warmup_epochs * cfg.steps_per_epoch), 1)
     total_steps = max(cfg.epochs * cfg.steps_per_epoch, warmup_steps + 1)
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        warm = cfg.lr0 * step / warmup_steps
+        t = jnp.clip(step / warmup_steps, 0, 1)
+        warm = warmup_start + (cfg.lr0 - warmup_start) * t
         frac = jnp.clip(
             (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0, 1
         )
@@ -61,21 +68,39 @@ def lr_schedule(cfg: OptimizerConfig):
     return schedule
 
 
+def _bias_labels(params) -> Any:
+    """'bias' for conv/detect bias leaves, 'main' for everything else
+    (the 3-group YOLO recipe collapses to 2 lr groups: only biases differ
+    during warmup)."""
+    def label(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return "bias" if name == "bias" else "main"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def build_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformation:
-    schedule = lr_schedule(cfg)
+    main_sched = lr_schedule(cfg)
+    bias_sched = lr_schedule(cfg, warmup_start=cfg.warmup_bias_lr)
     name = cfg.name.lower()
     if name in ("sgd", "auto"):
         opt = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask(params)),
-            optax.sgd(schedule, momentum=cfg.momentum, nesterov=True),
+            optax.multi_transform(
+                {
+                    "main": optax.sgd(main_sched, momentum=cfg.momentum, nesterov=True),
+                    "bias": optax.sgd(bias_sched, momentum=cfg.momentum, nesterov=True),
+                },
+                param_labels=_bias_labels(params),
+            ),
         )
     elif name == "adamw":
         opt = optax.adamw(
-            schedule, b1=cfg.momentum, weight_decay=cfg.weight_decay,
+            main_sched, b1=cfg.momentum, weight_decay=cfg.weight_decay,
             mask=_decay_mask(params),
         )
     elif name == "adam":
-        opt = optax.adam(schedule, b1=cfg.momentum)
+        opt = optax.adam(main_sched, b1=cfg.momentum)
     else:
         raise ValueError(f"unknown optimizer: {cfg.name}")
     return opt
