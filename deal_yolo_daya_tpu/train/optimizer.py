@@ -1,17 +1,21 @@
 """Optimizer factory: SGD/AdamW with warmup + linear/cosine LR, decoupled
-weight-decay masking, and parameter EMA.
+weight-decay masking, per-group bias warmup, and parameter EMA.
 
 Knob surface mirrors the reference training page (optimizer selector, lr0,
 cos_lr, patience, warmup — reference: ui/pages/training.py:352-368) with
 ultralytics-compatible defaults (lr0=0.01 SGD momentum 0.937 / lrf=0.01,
-wd 5e-4, 3 warmup epochs, EMA decay 0.9999 with ramp).
+wd 5e-4, 3 warmup epochs, bias lr warming down from 0.1, EMA decay 0.9999
+with ramp).
+
+Documented deviations from the upstream recipe (tracked in docs/ROADMAP.md):
+momentum is constant (no 0.8 -> 0.937 warmup ramp) and warmup targets lr0
+rather than the decayed lr0 * lf(epoch).
 """
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -32,75 +36,82 @@ class OptimizerConfig:
     steps_per_epoch: int = 100
 
 
+def _leaf_name(path) -> str:
+    return path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+
+
 def _decay_mask(params) -> Any:
     """Apply weight decay to conv/dense kernels only (not bias/BN), the
     standard YOLO recipe."""
-    def mask_fn(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        return name == "kernel"
-
-    return jax.tree_util.tree_map_with_path(mask_fn, params)
-
-
-def lr_schedule(cfg: OptimizerConfig, warmup_start: float = 0.0):
-    """Warmup (linear from warmup_start to lr0) then linear/cosine decay.
-
-    warmup_start=0 is the weight/BN group; the bias group passes
-    cfg.warmup_bias_lr (it warms DOWN from 0.1 — the standard YOLO recipe).
-    """
-    warmup_steps = max(int(cfg.warmup_epochs * cfg.steps_per_epoch), 1)
-    total_steps = max(cfg.epochs * cfg.steps_per_epoch, warmup_steps + 1)
-
-    def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
-        t = jnp.clip(step / warmup_steps, 0, 1)
-        warm = warmup_start + (cfg.lr0 - warmup_start) * t
-        frac = jnp.clip(
-            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0, 1
-        )
-        if cfg.cos_lr:
-            decay = cfg.lrf + (1 - cfg.lrf) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
-        else:
-            decay = 1.0 - (1.0 - cfg.lrf) * frac
-        main = cfg.lr0 * decay
-        return jnp.where(step < warmup_steps, warm, main)
-
-    return schedule
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _leaf_name(path) == "kernel", params
+    )
 
 
 def _bias_labels(params) -> Any:
     """'bias' for conv/detect bias leaves, 'main' for everything else
     (the 3-group YOLO recipe collapses to 2 lr groups: only biases differ
     during warmup)."""
-    def label(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        return "bias" if name == "bias" else "main"
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "bias" if _leaf_name(path) == "bias" else "main", params
+    )
 
-    return jax.tree_util.tree_map_with_path(label, params)
+
+def lr_schedule(cfg: OptimizerConfig, warmup_start: float = 0.0):
+    """Warmup (linear from warmup_start to lr0) then linear/cosine decay.
+
+    warmup_start=0 is the weight/BN group; the bias group passes
+    cfg.warmup_bias_lr (warms DOWN from 0.1). warmup_epochs <= 0 disables
+    warmup entirely (no forced first step at warmup_start).
+    """
+    warmup_steps = int(cfg.warmup_epochs * cfg.steps_per_epoch)
+    total_steps = max(cfg.epochs * cfg.steps_per_epoch, warmup_steps + 1)
+
+    def decay_at(step):
+        frac = jnp.clip(
+            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0, 1
+        )
+        if cfg.cos_lr:
+            return cfg.lrf + (1 - cfg.lrf) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
+        return 1.0 - (1.0 - cfg.lrf) * frac
+
+    if warmup_steps <= 0:
+        return lambda step: cfg.lr0 * decay_at(jnp.asarray(step, jnp.float32))
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        t = jnp.clip(step / warmup_steps, 0, 1)
+        warm = warmup_start + (cfg.lr0 - warmup_start) * t
+        return jnp.where(step < warmup_steps, warm, cfg.lr0 * decay_at(step))
+
+    return schedule
 
 
 def build_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformation:
     main_sched = lr_schedule(cfg)
     bias_sched = lr_schedule(cfg, warmup_start=cfg.warmup_bias_lr)
+
+    def grouped(make_inner):
+        """Bias group gets the warm-down schedule, everything else the main
+        one — applied uniformly across optimizer types."""
+        return optax.multi_transform(
+            {"main": make_inner(main_sched), "bias": make_inner(bias_sched)},
+            param_labels=_bias_labels(params),
+        )
+
     name = cfg.name.lower()
     if name in ("sgd", "auto"):
         opt = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask(params)),
-            optax.multi_transform(
-                {
-                    "main": optax.sgd(main_sched, momentum=cfg.momentum, nesterov=True),
-                    "bias": optax.sgd(bias_sched, momentum=cfg.momentum, nesterov=True),
-                },
-                param_labels=_bias_labels(params),
-            ),
+            grouped(lambda s: optax.sgd(s, momentum=cfg.momentum, nesterov=True)),
         )
     elif name == "adamw":
-        opt = optax.adamw(
-            main_sched, b1=cfg.momentum, weight_decay=cfg.weight_decay,
-            mask=_decay_mask(params),
+        opt = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask(params)),
+            grouped(lambda s: optax.adam(s, b1=cfg.momentum)),
         )
     elif name == "adam":
-        opt = optax.adam(main_sched, b1=cfg.momentum)
+        opt = grouped(lambda s: optax.adam(s, b1=cfg.momentum))
     else:
         raise ValueError(f"unknown optimizer: {cfg.name}")
     return opt

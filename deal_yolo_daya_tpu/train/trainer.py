@@ -168,6 +168,9 @@ class Trainer:
             epochs=config.epochs, steps_per_epoch=steps_per_epoch,
         )
         self.lr_fn = lr_schedule(self.opt_cfg)
+        self.lr_fn_bias = lr_schedule(
+            self.opt_cfg, warmup_start=self.opt_cfg.warmup_bias_lr
+        )
 
         self.run = RunDir(config.project, config.name, config.exist_ok)
         self.run.write_args(dataclasses.asdict(config))
@@ -328,10 +331,18 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = self._ckpt_dir() / tag
+        # opt_state flattened to a leaf list: robust to the optax NamedTuple
+        # structure (re-unflattened onto a freshly-built optimizer on resume).
+        # Without it, resume restarts schedule counts — the bias group would
+        # re-run its 0.1 warmup on a converged model.
+        opt_leaves = [
+            jax.device_get(x) for x in jax.tree_util.tree_leaves(self.state.opt_state)
+        ]
         ckpt = {
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),
             "ema_params": jax.device_get(self.state.ema_params),
+            "opt_leaves": opt_leaves,
             "step": int(self.state.step),
             "epoch": epoch,
             "fitness": fit,
@@ -362,10 +373,27 @@ class Trainer:
             put_params = lambda t: jax.tree_util.tree_map(
                 lambda x, sh: jax.device_put(jnp.asarray(x), sh), t, self._param_sh
             )
+        opt_state = self.state.opt_state
+        saved_leaves = ckpt.get("opt_leaves")
+        if isinstance(saved_leaves, dict):
+            # orbax may round-trip lists as {index: value} dicts
+            saved_leaves = [saved_leaves[k] for k in sorted(saved_leaves, key=int)]
+        if saved_leaves is not None:
+            treedef = jax.tree_util.tree_structure(opt_state)
+            if treedef.num_leaves == len(saved_leaves):
+                opt_state = jax.tree_util.tree_unflatten(
+                    treedef,
+                    [jnp.asarray(x) for x in saved_leaves],
+                )
+                opt_state = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x), opt_state
+                ) if self.single_device else put_rep(opt_state)
+            else:
+                print("优化器状态结构不匹配（配置变更？），将重新初始化优化器状态")
         self.state = TrainState(
             params=put_params(ckpt["params"]),
             batch_stats=put_rep(ckpt["batch_stats"]),
-            opt_state=self.state.opt_state,
+            opt_state=opt_state,
             ema_params=put_params(ckpt["ema_params"]),
             step=jnp.asarray(ckpt["step"], jnp.int32),
         )
@@ -453,7 +481,10 @@ class Trainer:
                 "val/box_loss": val_losses["box_loss"],
                 "val/cls_loss": val_losses["cls_loss"],
                 "val/dfl_loss": val_losses["dfl_loss"],
-                "lr/pg0": lr_now, "lr/pg1": lr_now, "lr/pg2": lr_now,
+                # pg0/pg1 = weight/BN groups (shared schedule), pg2 = bias
+                # group (warms down from warmup_bias_lr) — ultralytics layout
+                "lr/pg0": lr_now, "lr/pg1": lr_now,
+                "lr/pg2": float(self.lr_fn_bias(self.state.step)),
             })
 
             fit = fitness(metrics)
