@@ -7,9 +7,10 @@ ultralytics-compatible defaults (lr0=0.01 SGD momentum 0.937 / lrf=0.01,
 wd 5e-4, 3 warmup epochs, bias lr warming down from 0.1, EMA decay 0.9999
 with ramp).
 
-Documented deviations from the upstream recipe (tracked in docs/ROADMAP.md):
-momentum is constant (no 0.8 -> 0.937 warmup ramp) and warmup targets lr0
-rather than the decayed lr0 * lf(epoch).
+Warmup semantics match the upstream recipe: lr interpolates from the group's
+warmup start (0 for weights/BN, warmup_bias_lr for biases) to the DECAYED
+schedule value, and SGD momentum ramps warmup_momentum -> momentum over the
+same window (via optax.inject_hyperparams).
 """
 
 from __future__ import annotations
@@ -30,7 +31,8 @@ class OptimizerConfig:
     momentum: float = 0.937
     weight_decay: float = 5e-4
     warmup_epochs: float = 3.0
-    warmup_bias_lr: float = 0.1  # bias group warms DOWN from here to lr0
+    warmup_bias_lr: float = 0.1      # bias group warms DOWN from here
+    warmup_momentum: float = 0.8     # SGD momentum ramps from here to momentum
     cos_lr: bool = False
     epochs: int = 100
     steps_per_epoch: int = 100
@@ -81,8 +83,23 @@ def lr_schedule(cfg: OptimizerConfig, warmup_start: float = 0.0):
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         t = jnp.clip(step / warmup_steps, 0, 1)
-        warm = warmup_start + (cfg.lr0 - warmup_start) * t
-        return jnp.where(step < warmup_steps, warm, cfg.lr0 * decay_at(step))
+        # interpolate toward the DECAYED value, not plain lr0 (upstream recipe)
+        target = cfg.lr0 * decay_at(step)
+        warm = warmup_start + (target - warmup_start) * t
+        return jnp.where(step < warmup_steps, warm, target)
+
+    return schedule
+
+
+def momentum_schedule(cfg: OptimizerConfig):
+    """SGD momentum ramps warmup_momentum -> momentum over the warmup window."""
+    warmup_steps = int(cfg.warmup_epochs * cfg.steps_per_epoch)
+    if warmup_steps <= 0:
+        return lambda step: jnp.float32(cfg.momentum)
+
+    def schedule(step):
+        t = jnp.clip(jnp.asarray(step, jnp.float32) / warmup_steps, 0, 1)
+        return cfg.warmup_momentum + (cfg.momentum - cfg.warmup_momentum) * t
 
     return schedule
 
@@ -101,9 +118,15 @@ def build_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformatio
 
     name = cfg.name.lower()
     if name in ("sgd", "auto"):
+        mom_sched = momentum_schedule(cfg)
+        sgd_hp = lambda s: optax.inject_hyperparams(
+            lambda learning_rate, momentum: optax.sgd(
+                learning_rate, momentum=momentum, nesterov=True
+            )
+        )(learning_rate=s, momentum=mom_sched)
         opt = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask(params)),
-            grouped(lambda s: optax.sgd(s, momentum=cfg.momentum, nesterov=True)),
+            grouped(sgd_hp),
         )
     elif name == "adamw":
         opt = optax.chain(
