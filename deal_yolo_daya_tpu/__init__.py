@@ -23,3 +23,12 @@ Cyclones-Y/Deal-Yolo-Daya (reference: /root/reference):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level export: `from deal_yolo_daya_tpu import YOLO`
+    if name == "YOLO":
+        from .api import YOLO
+
+        return YOLO
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
