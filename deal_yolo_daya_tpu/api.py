@@ -215,6 +215,48 @@ class YOLO:
                 ))
         return results
 
+    # ----------------------------------------------------------------- export
+
+    def export(self, out_dir) -> "Path":
+        """Write a serving bundle: BN-folded inference variables + metadata
+        (scale, nc, names, imgsz). Load with YOLO.from_export()."""
+        import json as _json
+
+        import jax
+        import orbax.checkpoint as ocp
+
+        from .models.yolo11 import fuse_conv_bn
+
+        self._ensure_built()
+        out_dir = Path(out_dir).resolve()
+        fused = fuse_conv_bn(jax.device_get(self._variables))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(out_dir / "variables", fused, force=True)
+        (out_dir / "meta.json").write_text(_json.dumps({
+            "scale": self.scale,
+            "nc": self.nc,
+            "names": list(self.names),
+            "imgsz": self.imgsz,
+            "fused": True,
+        }, ensure_ascii=False))
+        return out_dir
+
+    @classmethod
+    def from_export(cls, bundle_dir) -> "YOLO":
+        """Load a serving bundle written by export()."""
+        import json as _json
+
+        import orbax.checkpoint as ocp
+
+        bundle_dir = Path(bundle_dir).resolve()
+        meta = _json.loads((bundle_dir / "meta.json").read_text())
+        model = cls(f"yolo11{meta['scale']}", nc=meta["nc"], imgsz=meta["imgsz"])
+        model.names = meta["names"]
+        model._ensure_built()
+        with ocp.PyTreeCheckpointer() as ckptr:
+            model._variables = ckptr.restore(bundle_dir / "variables")
+        return model
+
     # -------------------------------------------------------------------- val
 
     def val(self, data: str, **kwargs) -> Dict[str, float]:

@@ -62,3 +62,24 @@ def test_parse_scale_variants():
     assert parse_scale("/models/yolo11m.yaml") == "m"
     assert parse_scale("s") == "s"
     assert parse_scale("unknown_model") == "n"
+
+
+def test_export_and_reload_roundtrip(tmp_path):
+    import numpy as np
+
+    model = YOLO("yolo11n", nc=2, imgsz=64)
+    model.names = ["猫", "狗"]
+    img = np.random.default_rng(1).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    before = model.predict(img, conf=0.001, max_det=10)[0]
+
+    bundle = model.export(tmp_path / "bundle")
+    assert (bundle / "meta.json").exists()
+
+    loaded = YOLO.from_export(bundle)
+    assert loaded.names == ["猫", "狗"]
+    assert loaded.nc == 2
+    after = loaded.predict(img, conf=0.001, max_det=10)[0]
+    # BN folding preserves inference outputs
+    assert len(before) == len(after)
+    if len(before):
+        np.testing.assert_allclose(before.boxes, after.boxes, atol=1.0)
