@@ -90,6 +90,9 @@ class TrainConfig:
     # run mosaic/affine/HSV/flip on the TPU (host does decode+resize only);
     # the north-star input pipeline for hosts with few cores
     device_augment: bool = False
+    # capture a jax.profiler trace of the first N steps of epoch 0 into
+    # <run_dir>/profile (open with TensorBoard / xprof); 0 = off
+    profile_steps: int = 0
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -427,7 +430,12 @@ class Trainer:
                 epoch_iter = Prefetcher(
                     self.train_loader.epoch(epoch), depth=cfg.workers
                 )
+            profiling = False
             for batch in epoch_iter:
+                if cfg.profile_steps and epoch == self.start_epoch and n_steps == 1:
+                    # start after step 0 so compile time stays out of the trace
+                    jax.profiler.start_trace(str(self.run.path / "profile"))
+                    profiling = True
                 if use_device_aug:
                     args = jax.device_put(
                         (batch.images, batch.hw, batch.gt_boxes,
@@ -449,6 +457,14 @@ class Trainer:
                         self.state, loss_acc, *args
                     )
                 n_steps += 1
+                if profiling and n_steps >= 1 + cfg.profile_steps:
+                    jax.block_until_ready(total)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace 已写入 {self.run.path / 'profile'}")
+            if profiling:  # short epoch: close the trace cleanly
+                jax.block_until_ready(total)
+                jax.profiler.stop_trace()
             losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
             if n_steps:
                 for k in losses:
