@@ -299,7 +299,9 @@ class Trainer:
             )
 
         aug_kwargs = {} if self.single_device else {
-            "in_shardings": (data_sh, data_sh, data_sh, data_sh, data_sh, None)
+            "in_shardings": (data_sh, data_sh, data_sh, data_sh, data_sh, None),
+            # outputs feed train_step's data-sharded inputs directly
+            "out_shardings": (data_sh, data_sh, data_sh, data_sh),
         }
         self.device_augment_step = jax.jit(device_augment_step, **aug_kwargs)
 

@@ -1,0 +1,65 @@
+"""Trainer path coverage: on-device augmentation training and full DPxTP
+Trainer construction/run on the virtual 8-device mesh."""
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.test_data import make_dataset
+
+
+def test_device_augment_training_path(tmp_path):
+    """device_augment=True: raw loader -> on-device mosaic/HSV/flip -> train;
+    must produce finite losses and the standard artifacts."""
+    data_yaml = make_dataset(tmp_path, n_train=8, n_val=4, imgsz=64, nc=2)
+    from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model="yolo11n", data=str(data_yaml), epochs=1, imgsz=64, batch=4,
+        amp=False, close_mosaic=0, project=str(tmp_path / "runs"), name="da",
+        seed=0, max_boxes=16, warmup_epochs=0.5, workers=2,
+        device_augment=True, val=False,
+    )
+    trainer = Trainer(cfg)
+    result = trainer.train()
+    df = pd.read_csv(Path(result["save_dir"]) / "results.csv")
+    assert len(df) == 1
+    assert np.isfinite(
+        df[["train/box_loss", "train/cls_loss", "train/dfl_loss"]].values
+    ).all()
+    assert float(df["train/cls_loss"][0]) > 0
+
+
+def test_trainer_on_multi_device_mesh(tmp_path):
+    """Full Trainer over an explicit 4x2 (DP x TP) mesh: TP param placement,
+    sharded train/eval steps, checkpointing."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    data_yaml = make_dataset(tmp_path, n_train=8, n_val=4, imgsz=64, nc=2)
+    from deal_yolo_daya_tpu.parallel.mesh import create_mesh
+    from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
+
+    mesh = create_mesh(4, 2)
+    cfg = TrainConfig(
+        model="yolo11n", data=str(data_yaml), epochs=1, imgsz=64, batch=4,
+        amp=False, close_mosaic=0, project=str(tmp_path / "runs"), name="tp",
+        seed=0, max_boxes=16, warmup_epochs=0.5, workers=2,
+    )
+    trainer = Trainer(cfg, mesh=mesh)
+    assert not trainer.single_device
+    # at least one kernel actually TP-sharded on this mesh
+    import jax.sharding as jsh
+
+    n_sharded = sum(
+        1 for s in jax.tree_util.tree_leaves(trainer._param_sh)
+        if s.spec != jsh.PartitionSpec()
+    )
+    assert n_sharded > 0
+    result = trainer.train()
+    df = pd.read_csv(Path(result["save_dir"]) / "results.csv")
+    assert np.isfinite(df["train/cls_loss"].values).all()
+    assert (Path(result["save_dir"]) / "weights" / "last").exists()
