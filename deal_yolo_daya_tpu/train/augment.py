@@ -28,6 +28,7 @@ except Exception:  # pragma: no cover
 @dataclass
 class AugmentConfig:
     mosaic: float = 1.0
+    mixup: float = 0.0
     hsv_h: float = 0.015
     hsv_s: float = 0.7
     hsv_v: float = 0.4
@@ -171,6 +172,21 @@ def mosaic4(
     return random_affine(
         canvas, boxes, classes, rng, cfg, out_size=imgsz, border=(-s // 2, -s // 2)
     )
+
+
+def mixup(
+    img1: np.ndarray, boxes1: np.ndarray, cls1: np.ndarray,
+    img2: np.ndarray, boxes2: np.ndarray, cls2: np.ndarray,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Blend two samples with a Beta(32, 32) weight; labels are unioned."""
+    r = rng.beta(32.0, 32.0)
+    img = (img1.astype(np.float32) * r + img2.astype(np.float32) * (1 - r)).astype(
+        np.uint8
+    )
+    boxes = np.concatenate([boxes1, boxes2], 0) if len(boxes1) or len(boxes2) else boxes1
+    classes = np.concatenate([cls1, cls2], 0) if len(cls1) or len(cls2) else cls1
+    return img, boxes, classes
 
 
 def flips(

@@ -22,7 +22,15 @@ import numpy as np
 import yaml
 
 from ..ops.letterbox import letterbox_numpy
-from .augment import AugmentConfig, flips, hsv_jitter, mosaic4, random_affine, resize_keep_ratio
+from .augment import (
+    AugmentConfig,
+    flips,
+    hsv_jitter,
+    mixup,
+    mosaic4,
+    random_affine,
+    resize_keep_ratio,
+)
 
 try:
     import cv2
@@ -195,22 +203,31 @@ class DataLoader:
             return max(n // self.batch_size, 1) if n else 0
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _mosaic_sample(self, idx: int, rng: np.random.Generator):
+        others = rng.integers(0, len(self.ds), 3)
+        idxs = [idx, *others.tolist()]
+        imgs, bxs, cls = [], [], []
+        for j in idxs:
+            img = self.ds.image(j)
+            h, w = img.shape[:2]
+            b, c = self.ds.boxes_xyxy(j, w, h)
+            imgs.append(img)
+            bxs.append(b)
+            cls.append(c)
+        return mosaic4(imgs, bxs, cls, self.imgsz, rng, self.cfg)
+
     def _load_one(self, idx: int, rng: np.random.Generator):
         use_mosaic = (
             self.augment and not self.mosaic_off and rng.random() < self.cfg.mosaic
         )
         if use_mosaic:
-            others = rng.integers(0, len(self.ds), 3)
-            idxs = [idx, *others.tolist()]
-            imgs, bxs, cls = [], [], []
-            for j in idxs:
-                img = self.ds.image(j)
-                h, w = img.shape[:2]
-                b, c = self.ds.boxes_xyxy(j, w, h)
-                imgs.append(img)
-                bxs.append(b)
-                cls.append(c)
-            img, boxes, classes = mosaic4(imgs, bxs, cls, self.imgsz, rng, self.cfg)
+            img, boxes, classes = self._mosaic_sample(idx, rng)
+            if self.cfg.mixup > 0 and rng.random() < self.cfg.mixup:
+                j = int(rng.integers(0, len(self.ds)))
+                img2, boxes2, classes2 = self._mosaic_sample(j, rng)
+                img, boxes, classes = mixup(
+                    img, boxes, classes, img2, boxes2, classes2, rng
+                )
             meta = None
         else:
             img = self.ds.image(idx)

@@ -73,6 +73,7 @@ class TrainConfig:
     cls: float = 0.5
     dfl: float = 1.5
     mosaic: float = 1.0
+    mixup: float = 0.0
     hsv_h: float = 0.015
     hsv_s: float = 0.7
     hsv_v: float = 0.4
@@ -146,7 +147,8 @@ class Trainer:
         self.model = YOLO11(nc=self.nc, scale=self.scale, dtype=self.dtype)
 
         aug = AugmentConfig(
-            mosaic=config.mosaic, hsv_h=config.hsv_h, hsv_s=config.hsv_s,
+            mosaic=config.mosaic, mixup=config.mixup,
+            hsv_h=config.hsv_h, hsv_s=config.hsv_s,
             hsv_v=config.hsv_v, fliplr=config.fliplr, flipud=config.flipud,
             scale=config.scale, translate=config.translate, degrees=config.degrees,
         )

@@ -133,3 +133,33 @@ def test_prefetcher_propagates_items_and_errors(tmp_path):
 
     with pytest.raises(RuntimeError):
         list(Prefetcher(bad()))
+
+
+def test_mixup_blend_and_label_union():
+    from deal_yolo_daya_tpu.train.augment import mixup
+
+    rng = np.random.default_rng(0)
+    a = np.zeros((32, 32, 3), np.uint8)
+    b = np.full((32, 32, 3), 200, np.uint8)
+    ba = np.array([[1, 1, 10, 10]], np.float32)
+    bb = np.array([[5, 5, 20, 20]], np.float32)
+    img, boxes, classes = mixup(a, ba, np.array([0]), b, bb, np.array([1]), rng)
+    assert img.shape == a.shape
+    # blended value strictly between the sources (beta(32,32) ~ 0.5)
+    assert 50 < int(img[0, 0, 0]) < 150
+    assert boxes.shape == (2, 4)
+    assert classes.tolist() == [0, 1]
+
+
+def test_loader_mixup_path(tmp_path):
+    from deal_yolo_daya_tpu.train.augment import AugmentConfig
+
+    data_yaml = make_dataset(tmp_path)
+    ds = YoloDataset.from_yaml(str(data_yaml), "train")
+    loader = DataLoader(
+        ds, 4, 64, augment=True, seed=1, max_boxes=32,
+        aug_config=AugmentConfig(mixup=1.0),
+    )
+    b = next(iter(loader.epoch(0)))
+    assert b.images.shape == (4, 64, 64, 3)
+    assert b.gt_mask.any()
