@@ -46,16 +46,21 @@ def bbox_ciou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7) -> jnp.nd
     b1c = (box1[..., :2] + box1[..., 2:4]) / 2
     b2c = (box2[..., :2] + box2[..., 2:4]) / 2
     rho2 = jnp.sum((b2c - b1c) ** 2, axis=-1)
-    w1 = box1[..., 2] - box1[..., 0]
-    h1 = box1[..., 3] - box1[..., 1]
-    w2 = box2[..., 2] - box2[..., 0]
-    h2 = box2[..., 3] - box2[..., 1]
+    # Aspect term in f32 regardless of input dtype: near perfect overlap
+    # (iou -> 1, v -> 0) the alpha denominator v - iou + 1 underflows to 0 in
+    # bf16 (spacing ~0.004 around 1), which would rank perfect anchors last.
+    f32 = jnp.float32
+    w1 = (box1[..., 2] - box1[..., 0]).astype(f32)
+    h1 = (box1[..., 3] - box1[..., 1]).astype(f32)
+    w2 = (box2[..., 2] - box2[..., 0]).astype(f32)
+    h2 = (box2[..., 3] - box2[..., 1]).astype(f32)
     v = (4 / math.pi**2) * (
         jnp.arctan(w2 / (h2 + eps)) - jnp.arctan(w1 / (h1 + eps))
     ) ** 2
-    # alpha is treated as a constant trade-off coefficient (no gradient)
-    alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
-    return iou - (rho2 / c2 + alpha * v)
+    iou_f = iou.astype(f32)
+    # alpha is a constant trade-off coefficient (no gradient)
+    alpha = jax.lax.stop_gradient(v / jnp.maximum(v - iou_f + (1 + eps), eps))
+    return iou - (rho2 / c2 + (alpha * v).astype(iou.dtype))
 
 
 def box_iou_matrix(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:

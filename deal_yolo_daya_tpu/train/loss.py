@@ -63,15 +63,23 @@ def task_aligned_assign(
     b, n, _ = gt_bboxes.shape
     a = pd_bboxes.shape[1]
 
-    # Alignment metric: cls-score^alpha * CIoU^beta per (gt, anchor)
+    # Alignment metric: cls-score^alpha * CIoU^beta per (gt, anchor).
+    # The (B, N, A) metric tensors dominate loss-time HBM traffic; they are
+    # ranking-only (inside stop_gradient), so compute them in bf16 — the same
+    # precision the reference engine's AMP autocast gives its assigner.
+    mdt = jnp.bfloat16
     gt_label_scores = jnp.take_along_axis(
-        pd_scores.transpose(0, 2, 1),              # (B, nc, A)
+        pd_scores.astype(mdt).transpose(0, 2, 1),    # (B, nc, A)
         jnp.clip(gt_labels, 0, nc - 1)[:, :, None],  # (B, N, 1)
         axis=1,
     )  # (B, N, A)
     overlaps = jnp.clip(
-        bbox_ciou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0.0
-    )  # (B, N, A)
+        bbox_ciou(
+            gt_bboxes.astype(mdt)[:, :, None, :],
+            pd_bboxes.astype(mdt)[:, None, :, :],
+        ),
+        0.0,
+    )  # (B, N, A) bf16
     align_metric = (gt_label_scores ** alpha) * (overlaps ** beta)
 
     mask_in_gts = select_candidates_in_gts(anchor_xy, gt_bboxes)
@@ -128,7 +136,9 @@ def task_aligned_assign(
 
 
 def _bce_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise binary cross-entropy with logits (stable)."""
+    """Elementwise binary cross-entropy with logits (stable). Runs in the
+    logits' dtype (bf16 under amp); callers accumulate the sum in f32."""
+    targets = targets.astype(logits.dtype)
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
@@ -158,7 +168,8 @@ def detection_loss(
     results.csv column contract)."""
     pd_dist, pd_scores = flatten_levels(box_levels, cls_levels)  # (B,A,64),(B,A,nc)
     pd_dist = pd_dist.astype(jnp.float32)
-    pd_scores = pd_scores.astype(jnp.float32)
+    # pd_scores stays in model dtype (bf16 under amp): BCE is elementwise with
+    # f32 accumulation; the (B, A, nc) tensor dominates loss bandwidth
     anchor_points, stride_per = make_anchors(imgsz)  # grid units, (A,1)
     anchor_xy_px = anchor_points * stride_per
 
@@ -183,7 +194,10 @@ def detection_loss(
     target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
 
     # Classification: BCE over all anchors/classes
-    cls_loss = jnp.sum(_bce_logits(pd_scores, target_scores)) / target_scores_sum
+    cls_loss = (
+        jnp.sum(_bce_logits(pd_scores, target_scores), dtype=jnp.float32)
+        / target_scores_sum
+    )
 
     # Box: CIoU on foreground, weighted by assigned score mass
     target_bboxes_grid = target_bboxes_px / stride_per[None]

@@ -120,6 +120,19 @@ def fitness(metrics: Dict[str, float]) -> float:
     return 0.1 * metrics.get("map50", 0.0) + 0.9 * metrics.get("map", 0.0)
 
 
+def bucket_gt(gt_boxes, gt_classes, gt_mask, max_boxes: int, min_bucket: int = 4):
+    """Trim padded GT arrays to the batch's actual max count, rounded up to a
+    power of two. The (B, N, A) assigner tensors scale linearly with N, so
+    datasets with few objects per image skip most of that work; power-of-two
+    buckets keep the number of distinct jit signatures at log2(max_boxes)."""
+    n_max = int(gt_mask.sum(axis=1).max()) if len(gt_mask) else 0
+    bucket = min_bucket
+    while bucket < n_max:
+        bucket <<= 1
+    bucket = min(bucket, max_boxes)
+    return gt_boxes[:, :bucket], gt_classes[:, :bucket], gt_mask[:, :bucket]
+
+
 class Trainer:
     def __init__(self, config: TrainConfig, mesh=None):
         self.cfg = config
@@ -452,11 +465,11 @@ class Trainer:
                         self.state, loss_acc, *aug
                     )
                 else:
-                    args = jax.device_put(
-                        (batch.images, batch.gt_boxes, batch.gt_classes,
-                         batch.gt_mask),
-                        data_sh,
+                    gtb, gtc, gtm = bucket_gt(
+                        batch.gt_boxes, batch.gt_classes, batch.gt_mask,
+                        cfg.max_boxes,
                     )
+                    args = jax.device_put((batch.images, gtb, gtc, gtm), data_sh)
                     self.state, total, loss_acc = self.train_step(
                         self.state, loss_acc, *args
                     )
@@ -540,10 +553,10 @@ class Trainer:
         first_batch_saved = False
 
         for batch in self.val_loader.epoch(0):
-            args = jax.device_put(
-                (batch.images, batch.gt_boxes, batch.gt_classes, batch.gt_mask),
-                data_sh,
+            gtb, gtc, gtm = bucket_gt(
+                batch.gt_boxes, batch.gt_classes, batch.gt_mask, cfg.max_boxes
             )
+            args = jax.device_put((batch.images, gtb, gtc, gtm), data_sh)
             (ob, osc, ocl, nd), total, parts = self.eval_step(
                 params, self.state.batch_stats, *args
             )
