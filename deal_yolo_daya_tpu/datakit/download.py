@@ -10,6 +10,8 @@ the cache ahead of the row loop.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
+import threading
 from pathlib import Path
 from typing import Dict, Iterable, Optional
 
@@ -22,8 +24,12 @@ def download_image(url: str, save_path: str, timeout: int = 15) -> bool:
     try:
         response = requests.get(url, stream=True, timeout=timeout)
         response.raise_for_status()
-        with open(save_path, "wb") as f:
+        # temp-file + atomic rename: concurrent downloaders that collide on a
+        # basename can never leave a torn/partial file behind
+        tmp = f"{save_path}.tmp-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "wb") as f:
             f.write(response.content)
+        os.replace(tmp, save_path)
         return True
     except Exception as e:
         print(f"\n❌ 图片下载失败 {url}：{e}")
@@ -42,7 +48,7 @@ def cache_path_for(source_url: str, cache_dir: Path) -> Optional[Path]:
     return Path(cache_dir) / filename
 
 
-def ensure_image_cached(source_url, cache_dir: Path) -> Optional[Path]:
+def ensure_image_cached(source_url, cache_dir: Path, timeout: int = 15) -> Optional[Path]:
     """Local path if source exists on disk; otherwise download-to-cache."""
     if not source_url:
         return None
@@ -54,7 +60,7 @@ def ensure_image_cached(source_url, cache_dir: Path) -> Optional[Path]:
             return None
         if cache_path.exists() and cache_path.stat().st_size > 0:
             return cache_path
-        download_image(str(source_url), str(cache_path))
+        download_image(str(source_url), str(cache_path), timeout=timeout)
         if cache_path.exists():
             return cache_path
     except Exception:
@@ -66,6 +72,7 @@ def prefetch_images(
     sources: Iterable[str],
     cache_dir: Path,
     max_workers: int = 16,
+    timeout: int = 15,
 ) -> Dict[str, Optional[Path]]:
     """Concurrently warm the image cache for many sources.
 
@@ -86,7 +93,8 @@ def prefetch_images(
     if remote:
         with cf.ThreadPoolExecutor(max_workers=max_workers) as pool:
             futures = {
-                pool.submit(ensure_image_cached, src, cache_dir): src for src in remote
+                pool.submit(ensure_image_cached, src, cache_dir, timeout): src
+                for src in remote
             }
             for fut in cf.as_completed(futures):
                 src = futures[fut]

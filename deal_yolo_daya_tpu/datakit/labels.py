@@ -58,8 +58,6 @@ def parse_data_objects(json_str) -> Tuple[Optional[dict], list, Optional[str]]:
     """Parse an annotation JSON cell -> (data, objects, error)."""
     if json_str is None or not isinstance(json_str, str) or not json_str:
         return None, [], "空数据"
-    if isinstance(json_str, float) and pd.isna(json_str):
-        return None, [], "空数据"
     try:
         data = json.loads(json_str)
     except json.JSONDecodeError:
@@ -169,20 +167,25 @@ def json_to_yolo_annotation(
     for obj in objects:
         if not isinstance(obj, dict):
             continue
-        obj_name = obj.get("name", "unknown")
-        if obj_name not in class_mapping:
-            class_mapping[obj_name] = current_class_id
-            current_class_id += 1
-        cid = class_mapping[obj_name]
-        ptlist = obj.get("polygon", {}).get("ptList", [])
-        if len(ptlist) != 2:
+        # tolerant like the reference: a malformed object yields partial
+        # output instead of aborting the cell (core/utils.py:106-109)
+        try:
+            obj_name = obj.get("name", "unknown")
+            if obj_name not in class_mapping:
+                class_mapping[obj_name] = current_class_id
+                current_class_id += 1
+            cid = class_mapping[obj_name]
+            ptlist = obj.get("polygon", {}).get("ptList", [])
+            if len(ptlist) != 2:
+                continue
+            p1, p2 = ptlist
+            x1, y1 = min(p1["x"], p2["x"]), min(p1["y"], p2["y"])
+            x2, y2 = max(p1["x"], p2["x"]), max(p1["y"], p2["y"])
+            xc = max(0.001, min(0.999, (x1 + x2) / 2 / img_width))
+            yc = max(0.001, min(0.999, (y1 + y2) / 2 / img_height))
+            w = max(0.001, min(0.999, (x2 - x1) / img_width))
+            h = max(0.001, min(0.999, (y2 - y1) / img_height))
+            yolo_lines.append(f"{cid} {xc:.6f} {yc:.6f} {w:.6f} {h:.6f}")
+        except Exception:
             continue
-        p1, p2 = ptlist
-        x1, y1 = min(p1["x"], p2["x"]), min(p1["y"], p2["y"])
-        x2, y2 = max(p1["x"], p2["x"]), max(p1["y"], p2["y"])
-        xc = max(0.001, min(0.999, (x1 + x2) / 2 / img_width))
-        yc = max(0.001, min(0.999, (y1 + y2) / 2 / img_height))
-        w = max(0.001, min(0.999, (x2 - x1) / img_width))
-        h = max(0.001, min(0.999, (y2 - y1) / img_height))
-        yolo_lines.append(f"{cid} {xc:.6f} {yc:.6f} {w:.6f} {h:.6f}")
     return "\n".join(yolo_lines), current_class_id, class_mapping

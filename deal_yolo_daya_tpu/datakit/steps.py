@@ -350,19 +350,33 @@ def filter_by_box_count_and_iou(
         return
 
     rows = df[NEW_LABEL_JSON_COL].tolist()
+    # Cap the packed width: one outlier row with hundreds of boxes would
+    # inflate the (rows, M, M) IoU tensors quadratically. Saturated rows
+    # (count == cap, i.e. possibly truncated) are re-checked exactly via the
+    # per-row Python/numpy path below.
+    M_CAP = 64
     native = None
     try:
         from ..runtime import scan_boxes_native
 
-        native = scan_boxes_native(rows, two_point_only=True)
+        native = scan_boxes_native(rows, two_point_only=True, max_boxes=M_CAP)
     except Exception:
         native = None
     if native is not None:
-        packed, mask, _, _ = native
+        packed, mask, counts, _ = native
+        saturated = np.flatnonzero(counts >= M_CAP)
     else:
         box_lists = [extract_two_point_boxes(v) for v in rows]
-        packed, mask = boxops.pack_boxes(box_lists)
+        saturated = np.flatnonzero(np.asarray([len(b) for b in box_lists]) > M_CAP)
+        box_lists = [b[:M_CAP] for b in box_lists]
+        packed, mask = boxops.pack_boxes(box_lists, max_boxes=M_CAP)
     hits = boxops.high_iou_hits(packed, mask, min_boxes=min_boxes, iou_threshold=iou_threshold)
+    for i in saturated:
+        full = extract_two_point_boxes(rows[int(i)])
+        b, m = boxops.pack_boxes([full])
+        hits[int(i)] = bool(
+            boxops.high_iou_hits(b, m, min_boxes=min_boxes, iou_threshold=iou_threshold)[0]
+        )
 
     Path(high_iou_csv).parent.mkdir(parents=True, exist_ok=True)
     Path(other_csv).parent.mkdir(parents=True, exist_ok=True)

@@ -89,7 +89,9 @@ def download_and_draw_annotations(
 
     # Concurrent download warm-up (the reference downloads serially per row).
     sources = [str(s) for s in rows["source"].dropna().tolist()]
-    prefetch_images(sources, download_dir)
+    prefetch_images(sources, download_dir, timeout=timeout)
+
+    from .download import ensure_image_cached
 
     success_count = 0
     fail_count = 0
@@ -100,11 +102,12 @@ def download_and_draw_annotations(
         img_filename = (
             str(source_url).split("/")[-1] if "/" in str(source_url) else f"image_{idx}.jpg"
         )
-        src_path = Path(str(source_url))
-        local_path = src_path if src_path.exists() else (download_dir / img_filename)
         result_path = result_dir / img_filename
 
-        if not local_path.exists():
+        # same cache-key rules as the prefetch (query strings stripped);
+        # also retries the download if the warm-up missed this row
+        local_path = ensure_image_cached(str(source_url), download_dir, timeout=timeout)
+        if local_path is None or not Path(local_path).exists():
             fail_count += 1
             continue
         try:

@@ -81,13 +81,15 @@ def generate_yolo_datasets_from_excels(
     used_dir_names = set()
     last_info = None
 
-    # Pre-pass: total row count for progress reporting
+    # Pre-pass: total row count for progress reporting.
+    # Cache keys are normalized via Path() so './x.xlsx' and 'x.xlsx' agree
+    # with the main loop's rebound Path(excel_path).
     sheet_cache = {}
     for excel_path in category_excels:
         if not excel_path or not Path(excel_path).exists():
             continue
         book = xlsx.read_workbook(excel_path, sheet_name=None)
-        sheet_cache[str(excel_path)] = book
+        sheet_cache[str(Path(excel_path))] = book
         for split in ("train", "val", "test"):
             if split in book:
                 total_rows += len(book[split])

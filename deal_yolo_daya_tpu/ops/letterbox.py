@@ -59,10 +59,13 @@ def letterbox_batch(
             y0 = jnp.floor(src_y)
             fx = src_x - x0
             fy = src_y - y0
+            # clip each neighbor from the UNclipped floor so out-of-range
+            # coordinates replicate the border (x0=-1 -> both neighbors 0)
+            # instead of blending toward the second pixel
             x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-            x1i = jnp.clip(x0i + 1, 0, w - 1)
+            x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
             y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-            y1i = jnp.clip(y0i + 1, 0, h - 1)
+            y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
             p00 = img[y0i, x0i]
             p01 = img[y0i, x1i]
             p10 = img[y1i, x0i]

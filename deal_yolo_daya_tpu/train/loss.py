@@ -115,7 +115,6 @@ def task_aligned_assign(
     ).astype(bool)  # (B, N, A)
 
     # Gather targets
-    take = lambda arr: jnp.take_along_axis(arr, target_gt_idx[:, :, None], axis=1)
     target_bboxes = jnp.take_along_axis(
         gt_bboxes, target_gt_idx[:, :, None].repeat(4, -1), axis=1
     )  # (B, A, 4)

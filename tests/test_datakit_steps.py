@@ -417,3 +417,19 @@ def test_generate_yolo_class_order_override(tmp_path):
 
     data = yaml.safe_load((out["datasets"][0] / "data.yaml").read_text(encoding="utf-8"))
     assert data["names"][0] == "猫"
+
+
+def test_iou_filter_many_box_row_exact(tmp_path):
+    # a row with more boxes than the packed cap still gets an exact verdict:
+    # 80 disjoint boxes plus one near-duplicate pair at the END of the list
+    objs = [(f"c{i}", [(i * 200, 0), (i * 200 + 50, 50)]) for i in range(80)]
+    objs.append(("dup", [(0, 1000), (100, 1100)]))
+    objs.append(("dup2", [(0, 1000), (100.001, 1100.001)]))
+    src = tmp_path / "in.csv"
+    pd.DataFrame({"source": ["big.jpg"], NJCOL: [label_json(objs, 99999, 99999)]}).to_csv(
+        src, index=False, encoding="utf-8-sig"
+    )
+    high = tmp_path / "h.csv"
+    other = tmp_path / "o.csv"
+    filter_by_box_count_and_iou(str(src), str(high), str(other))
+    assert len(pd.read_csv(high, encoding="utf-8-sig")) == 1  # the dup pair found

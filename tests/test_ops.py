@@ -132,3 +132,16 @@ def test_nms_greedy_cascade_exactness():
     )
     assert int(nd[0]) == 2
     np.testing.assert_allclose(osc[0, :2], [0.9, 0.7], atol=1e-6)
+
+
+def test_letterbox_border_replication():
+    # upscaling: the first content pixel must replicate the border, not blend
+    # toward the second source pixel
+    img = np.zeros((1, 4, 4, 3), np.float32)
+    img[0, :, 0] = 100.0   # first column distinct
+    img[0, :, 1:] = 200.0
+    out = letterbox_batch(
+        jnp.asarray(img), jnp.asarray([4.0]), jnp.asarray([[0.0, 0.0]]), 16
+    )
+    # output x=0 maps to src_x=(0.5)/4-0.5=-0.375 -> pure border pixel
+    assert float(out[0, 8, 0, 0]) == pytest.approx(100.0, abs=0.5)
