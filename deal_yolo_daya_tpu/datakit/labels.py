@@ -21,7 +21,8 @@ import pandas as pd
 LABEL_JSON_COL = "结果字段-目标检测标签配置"
 NEW_LABEL_JSON_COL = "新_结果字段-目标检测标签配置"
 
-_SEP_RE = re.compile(r"[,，;；|]")
+SEP_PATTERN = r"[,，;；|]"
+_SEP_RE = re.compile(SEP_PATTERN)
 
 
 def split_label_cell(cell_value) -> List[str]:

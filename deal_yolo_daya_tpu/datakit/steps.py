@@ -2,14 +2,15 @@
 
 Signatures, artifact names and console-output style match the reference
 (reference: core/processor.py:26-891) so the UI and saved run configs work
-unchanged; internals are columnar: each JSON label cell is parsed exactly once
-and numeric filtering runs as vectorized array ops (see boxes.py).
+unchanged. Internals are columnar: each string column is scanned ONCE into an
+AnnTable (native multithreaded scanner, runtime/labelscan.cpp), step logic
+runs as vectorized pandas/numpy ops over the flat object table, and JSON
+cells are rewritten by byte-splicing recorded spans (datakit/columnar.py) —
+no per-row json.loads/json.dumps loops.
 """
 
 from __future__ import annotations
 
-import copy
-import json
 import os
 import re
 import shutil
@@ -22,16 +23,44 @@ import pandas as pd
 from ..utils import xlsx
 from ..utils.naming import safe_filename
 from . import boxes as boxops
+from . import columnar
+from .columnar import ROW_INVALID, ROW_NON_OBJECT, ROW_NULL, ROW_OK
 from .labels import (
     LABEL_JSON_COL,
     NEW_LABEL_JSON_COL,
+    SEP_PATTERN,
     extract_two_point_boxes,
-    parse_data_objects,
-    polygon_to_bbox_points,
-    replace_label_tokens,
     split_label_cell,
-    split_object_labels,
 )
+
+# ---------------------------------------------------------------------------
+# Shared IO helpers
+# ---------------------------------------------------------------------------
+
+
+def _require_csv_path(path: str) -> None:
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"文件不存在：{path}")
+    if not str(path).endswith(".csv"):
+        raise ValueError(f"文件不是CSV格式：{path}（请传入.csv后缀的文件）")
+
+
+def _load_csv(path: str, encoding: str = "utf-8-sig") -> pd.DataFrame:
+    try:
+        return pd.read_csv(path, encoding=encoding, parse_dates=False)
+    except Exception as e:
+        raise Exception(f"读取CSV文件失败：{str(e)}") from e
+
+
+def _save_csv(df: pd.DataFrame, path, encoding: str = "utf-8-sig") -> None:
+    try:
+        parent = Path(path).parent
+        if str(parent):
+            parent.mkdir(parents=True, exist_ok=True)
+        df.to_csv(path, index=False, encoding=encoding)
+    except Exception as e:
+        raise Exception(f"保存结果失败：{str(e)}") from e
+
 
 # ---------------------------------------------------------------------------
 # Step 1: merge
@@ -55,64 +84,55 @@ def merge_all_csv_in_folder(
     if not os.path.exists(folder_path):
         raise FileNotFoundError(f"文件夹不存在：{folder_path}")
 
-    csv_files = list(Path(folder_path).glob("*.csv"))
-    if not csv_files:
+    plan = [(p, p.stat().st_size) for p in sorted(Path(folder_path).glob("*.csv"))]
+    if not plan:
         print(f"警告：文件夹 {folder_path} 中未找到CSV文件")
         return None
+    print(f"找到 {len(plan)} 个CSV文件，开始合并...")
 
-    print(f"找到 {len(csv_files)} 个CSV文件，开始合并...")
+    total_bytes = sum(size for _, size in plan)
+    state = {"rows": 0, "done_bytes": 0, "wrote_header": False}
+
+    def report(file_idx, path, size, file_rows, chunk_idx, file_bytes):
+        if progress_callback:
+            progress_callback(
+                file_idx, len(plan), path.name, state["rows"], file_rows,
+                chunk_idx, size, file_bytes, total_bytes,
+                state["done_bytes"] + file_bytes,
+            )
+
     output_file = str(output_file)
     Path(output_file).parent.mkdir(parents=True, exist_ok=True)
-    header_written = False
-    total_rows = 0
-    total_bytes = sum(f.stat().st_size for f in csv_files)
-    completed_bytes = 0
-
-    for file_idx, csv_file in enumerate(csv_files, start=1):
-        try:
-            file_size = csv_file.stat().st_size
-            if progress_callback:
-                progress_callback(
-                    file_idx, len(csv_files), csv_file.name, total_rows,
-                    0, 0, file_size, 0, total_bytes, completed_bytes,
-                )
+    # Unlike the reference (which reopens the output in append mode for every
+    # chunk — core/processor.py:84-96), stream all chunks into ONE handle.
+    with open(output_file, "w", encoding=encoding, newline="") as sink:
+        for file_idx, (path, size) in enumerate(plan, start=1):
+            report(file_idx, path, size, 0, 0, 0)
             file_rows = 0
-            with open(csv_file, "r", encoding=encoding, errors="ignore") as f:
-                for chunk_idx, df in enumerate(
-                    pd.read_csv(f, parse_dates=False, chunksize=chunk_size), start=1
-                ):
-                    df["source_file"] = os.path.basename(csv_file)
-                    df.to_csv(
-                        output_file,
-                        index=False,
-                        encoding=encoding,
-                        mode="a" if header_written else "w",
-                        header=not header_written,
-                    )
-                    header_written = True
-                    rows = len(df)
-                    file_rows += rows
-                    total_rows += rows
-                    if progress_callback:
-                        file_bytes = f.tell()
-                        progress_callback(
-                            file_idx, len(csv_files), csv_file.name, total_rows,
-                            file_rows, chunk_idx, file_size, file_bytes,
-                            total_bytes, completed_bytes + file_bytes,
-                        )
-            print(f"成功读取：{csv_file.name}（{file_rows}行）")
-            completed_bytes += file_size
-        except Exception as e:
-            print(f"读取失败 {csv_file.name}：{str(e)}")
-            continue
+            try:
+                with open(path, "r", encoding=encoding, errors="ignore") as f:
+                    chunks = pd.read_csv(f, parse_dates=False, chunksize=chunk_size)
+                    for chunk_idx, df in enumerate(chunks, start=1):
+                        df["source_file"] = path.name
+                        df.to_csv(sink, index=False, header=not state["wrote_header"])
+                        state["wrote_header"] = True
+                        file_rows += len(df)
+                        state["rows"] += len(df)
+                        report(file_idx, path, size, file_rows, chunk_idx, f.tell())
+            except Exception as e:
+                print(f"读取失败 {path.name}：{str(e)}")
+                continue
+            print(f"成功读取：{path.name}（{file_rows}行）")
+            state["done_bytes"] += size
 
-    if not header_written:
+    if not state["wrote_header"]:
+        os.unlink(output_file)
         print("错误：没有可合并的有效CSV数据")
         return None
 
-    print(f"\n合并完成！共 {total_rows} 行数据")
+    print(f"\n合并完成！共 {state['rows']} 行数据")
     print(f"输出文件：{os.path.abspath(output_file)}")
-    return total_rows
+    return state["rows"]
 
 
 # ---------------------------------------------------------------------------
@@ -127,44 +147,30 @@ def deduplicate_csv_by_source(
     keep: str = "first",
     verbose: bool = True,
 ) -> pd.DataFrame:
-    if not os.path.exists(csv_path):
-        raise FileNotFoundError(f"CSV文件不存在：{csv_path}")
-    if not csv_path.endswith(".csv"):
-        raise ValueError(f"文件不是CSV格式：{csv_path}（请传入.csv后缀的文件）")
-
-    try:
-        df = pd.read_csv(csv_path, encoding=encoding, parse_dates=False)
-        if verbose:
-            print(f"成功读取CSV文件：{os.path.basename(csv_path)}")
-            print(f"读取后原始数据行数：{len(df)}")
-    except Exception as e:
-        raise Exception(f"读取CSV文件失败：{str(e)}") from e
+    """Keep one row per unique ``source`` value
+    (reference: core/processor.py:111-164)."""
+    _require_csv_path(csv_path)
+    df = _load_csv(csv_path, encoding)
+    if verbose:
+        print(f"成功读取CSV文件：{os.path.basename(csv_path)}")
+        print(f"读取后原始数据行数：{len(df)}")
 
     if "source" not in df.columns:
         raise KeyError(
             f"CSV文件中未找到'source'列，请检查列名是否正确（当前列名：{list(df.columns)}）"
         )
 
-    original_count = len(df)
-    deduplicated = df.drop_duplicates(subset=["source"], keep=keep, ignore_index=True)
-
+    result = df.drop_duplicates(subset=["source"], keep=keep, ignore_index=True)
     if verbose:
         print(f"去重策略：按'source'列保留{keep}条数据")
-        print(f"去除重复数据行数：{original_count - len(deduplicated)}")
-        print(f"去重后剩余数据行数：{len(deduplicated)}")
+        print(f"去除重复数据行数：{len(df) - len(result)}")
+        print(f"去重后剩余数据行数：{len(result)}")
 
     if output_file is not None:
-        try:
-            out_dir = os.path.dirname(output_file)
-            if out_dir:
-                os.makedirs(out_dir, exist_ok=True)
-            deduplicated.to_csv(output_file, index=False, encoding=encoding)
-            if verbose:
-                print(f"去重后的文件已保存至：{os.path.abspath(output_file)}")
-        except Exception as e:
-            raise Exception(f"保存去重文件失败：{str(e)}") from e
-
-    return deduplicated
+        _save_csv(result, output_file, encoding)
+        if verbose:
+            print(f"去重后的文件已保存至：{os.path.abspath(output_file)}")
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -180,47 +186,34 @@ def remove_duplicates_between_csv(
     encoding: str = "utf-8-sig",
     verbose: bool = True,
 ) -> pd.DataFrame:
-    for csv_path in (main_csv, ref_csv):
-        if not os.path.exists(csv_path):
-            raise FileNotFoundError(f"文件不存在：{csv_path}")
-        if not csv_path.endswith(".csv"):
-            raise ValueError(f"文件不是CSV格式：{csv_path}（请传入.csv后缀文件）")
+    """Anti-join: drop main rows whose ``compare_col`` value appears in the
+    reference CSV (reference: core/processor.py:166-219)."""
+    _require_csv_path(main_csv)
+    _require_csv_path(ref_csv)
+    df_main = _load_csv(main_csv, encoding)
+    df_ref = _load_csv(ref_csv, encoding)
+    if verbose:
+        print(f"读取主文件：{len(df_main)}行")
+        print(f"读取参考文件：{len(df_ref)}行")
 
-    try:
-        df_main = pd.read_csv(main_csv, encoding=encoding, parse_dates=False)
-        df_ref = pd.read_csv(ref_csv, encoding=encoding, parse_dates=False)
-        if verbose:
-            print(f"读取主文件：{len(df_main)}行")
-            print(f"读取参考文件：{len(df_ref)}行")
-    except Exception as e:
-        raise Exception(f"读取CSV失败：{str(e)}") from e
+    for name, frame in (("主文件", df_main), ("参考文件", df_ref)):
+        if compare_col not in frame.columns:
+            raise KeyError(f"{name}中未找到列 '{compare_col}'")
 
-    if compare_col not in df_main.columns:
-        raise KeyError(f"主文件中未找到列 '{compare_col}'")
-    if compare_col not in df_ref.columns:
-        raise KeyError(f"参考文件中未找到列 '{compare_col}'")
-
-    ref_values = set(df_ref[compare_col].dropna().astype(str))
-    is_duplicate = df_main[compare_col].astype(str).isin(ref_values)
-    df_filtered = df_main[~is_duplicate].copy()
+    ref_values = df_ref[compare_col].dropna().astype(str).unique()
+    mask = ~df_main[compare_col].astype(str).isin(ref_values)
+    result = df_main[mask].copy()
 
     if verbose:
         print(f"去重依据列：{compare_col}")
         print(f"参考文件中唯一值数量：{len(ref_values)}")
-        print(f"剔除重复行数：{len(df_main) - len(df_filtered)}")
-        print(f"保留行数：{len(df_filtered)}")
+        print(f"剔除重复行数：{len(df_main) - len(result)}")
+        print(f"保留行数：{len(result)}")
 
-    try:
-        out_dir = os.path.dirname(output_csv)
-        if out_dir:
-            os.makedirs(out_dir, exist_ok=True)
-        df_filtered.to_csv(output_csv, index=False, encoding=encoding)
-        if verbose:
-            print(f"结果已保存至：{os.path.abspath(output_csv)}")
-    except Exception as e:
-        raise Exception(f"保存结果失败：{str(e)}") from e
-
-    return df_filtered
+    _save_csv(result, output_csv, encoding)
+    if verbose:
+        print(f"结果已保存至：{os.path.abspath(output_csv)}")
+    return result
 
 
 def overwrite_reference_with_result(result_csv: str, ref_csv: str):
@@ -234,6 +227,15 @@ def overwrite_reference_with_result(result_csv: str, ref_csv: str):
 # ---------------------------------------------------------------------------
 
 
+def _wh_column(values: np.ndarray):
+    """Width/height array -> CSV-friendly column (ints where integral)."""
+    s = pd.Series(values)
+    finite = s.dropna()
+    if len(finite) and (finite == finite.astype("int64")).all():
+        return s.astype("Int64")
+    return s
+
+
 def process_csv_replace_ptlist(
     input_csv_path: str,
     output_csv_path: str = "processed_replaced_ptlist.csv",
@@ -241,10 +243,10 @@ def process_csv_replace_ptlist(
 ):
     """Replace each object's polygon ptList with its 2-point axis-aligned bbox.
 
-    Single-parse columnar pass: one json.loads per row produces both the
-    rewritten JSON (new column 新_结果字段-目标检测标签配置) and the image
-    width/height columns (the reference parses each cell twice —
-    core/processor.py:283, 294).
+    One native scan of the label column yields every polygon's extents plus
+    the byte spans of each ptList; the rewrite is a per-cell byte splice
+    (columnar.rewrite_ptlists). The reference re-parses each cell twice and
+    rebuilds the object tree per row (core/processor.py:283, 294).
     """
     try:
         df = pd.read_csv(input_csv_path, encoding="utf-8-sig")
@@ -260,61 +262,29 @@ def process_csv_replace_ptlist(
         print(f"错误：CSV缺少列 '{LABEL_JSON_COL}'")
         return None
 
-    keep_mask = df[LABEL_JSON_COL].notna()
-    filtered_df = df[keep_mask].copy()
-    excluded_df = df[~keep_mask].copy()
+    keep = df[LABEL_JSON_COL].notna()
+    table = columnar.build_table(df[LABEL_JSON_COL].tolist())
+    rewritten = columnar.rewrite_ptlists(table)
 
-    new_jsons, widths, heights = [], [], []
-    for json_str in filtered_df[LABEL_JSON_COL].tolist():
-        if not isinstance(json_str, str):
-            new_jsons.append(None)
-            widths.append(None)
-            heights.append(None)
-            continue
-        try:
-            data = json.loads(json_str)
-        except json.JSONDecodeError:
-            new_jsons.append(None)
-            widths.append(None)
-            heights.append(None)
-            continue
-        except Exception:
-            new_jsons.append(None)
-            widths.append(None)
-            heights.append(None)
-            continue
-        widths.append(data.get("width"))
-        heights.append(data.get("height"))
-        updated_objects = []
-        for obj in data.get("objects", []):
-            if not isinstance(obj, dict):
-                continue
-            updated = obj.copy()
-            polygon = dict(updated.get("polygon") or {})
-            polygon["ptList"] = polygon_to_bbox_points(
-                (obj.get("polygon") or {}).get("ptList", [])
-            )
-            updated["polygon"] = polygon
-            updated_objects.append(updated)
-        data["objects"] = updated_objects
-        new_jsons.append(json.dumps(data, ensure_ascii=False))
-
-    filtered_df[NEW_LABEL_JSON_COL] = new_jsons
-    filtered_df["width"] = widths
-    filtered_df["height"] = heights
-
-    result_cols = ["source", LABEL_JSON_COL, NEW_LABEL_JSON_COL, "width", "height"]
-    existing_cols = [c for c in result_cols if c in filtered_df.columns]
+    kept_idx = np.flatnonzero(keep.to_numpy())
+    out = pd.DataFrame(index=range(len(kept_idx)))
+    if "source" in df.columns:
+        out["source"] = df["source"].to_numpy()[kept_idx]
+    out[LABEL_JSON_COL] = df[LABEL_JSON_COL].to_numpy()[kept_idx]
+    out[NEW_LABEL_JSON_COL] = [rewritten[i] for i in kept_idx]
+    out["width"] = _wh_column(table.wh[kept_idx, 0])
+    out["height"] = _wh_column(table.wh[kept_idx, 1])
 
     Path(output_csv_path).parent.mkdir(parents=True, exist_ok=True)
-    filtered_df[existing_cols].to_csv(output_csv_path, index=False, encoding="utf-8-sig")
+    out.to_csv(output_csv_path, index=False, encoding="utf-8-sig")
 
+    excluded_df = df[~keep]
     if excluded_output_file is not None:
         Path(excluded_output_file).parent.mkdir(parents=True, exist_ok=True)
         excluded_df.to_csv(excluded_output_file, index=False, encoding="utf-8-sig")
 
     return {
-        "filtered_rows": len(filtered_df),
+        "filtered_rows": len(kept_idx),
         "excluded_rows": len(excluded_df),
         "excluded_output": excluded_output_file,
     }
@@ -386,8 +356,35 @@ def filter_by_box_count_and_iou(
 
 
 # ---------------------------------------------------------------------------
-# Step 6: label mapping
+# Step 6: label mapping (columnar)
 # ---------------------------------------------------------------------------
+
+
+def _read_label_map(mapping_excel_path, sheet_name, old_col, new_col) -> dict:
+    mapping_df = xlsx.read_workbook(mapping_excel_path, sheet_name if sheet_name else 0)
+    if not old_col or not new_col:
+        cols = list(mapping_df.columns)
+        if len(cols) < 2:
+            raise ValueError("标签对照表至少需要两列")
+        old_col = old_col or cols[0]
+        new_col = new_col or cols[1]
+    olds = mapping_df[old_col].astype(str).str.strip()
+    news = mapping_df[new_col].astype(str).str.strip()
+    valid = (
+        (olds != "") & (news != "")
+        & (olds.str.lower() != "nan") & (news.str.lower() != "nan")
+    )
+    return dict(zip(olds[valid], news[valid]))
+
+
+def _token_frame(table: columnar.AnnTable) -> pd.DataFrame:
+    """Flat (obj, token) frame over all named objects of a table."""
+    named = pd.Series(table.names, dtype=object)
+    # Python truthiness of the raw name gates tokenization ('' -> no tokens)
+    toks = named.str.split(SEP_PATTERN, regex=True).explode()
+    toks = toks.str.strip()
+    toks = toks[toks.notna() & (toks != "")]
+    return pd.DataFrame({"obj": toks.index.to_numpy(), "tok": toks.to_numpy()})
 
 
 def replace_labels_by_mapping(
@@ -403,88 +400,119 @@ def replace_labels_by_mapping(
     sample_size: int = 30,
 ):
     """Rename labels via a 2-column Excel map; emits diff Excel, unmatched-label
-    histogram Excel and a 10-field summary (reference: core/processor.py:516-652)."""
+    histogram Excel and a 10-field summary (reference: core/processor.py:516-652).
+
+    Columnar: one table scan per JSON column; token split / mapping / dedup+
+    sort run as vectorized pandas ops over the flat object table; only rows
+    whose names actually change are rewritten (span splice).
+    """
     df = pd.read_csv(input_csv_path, encoding="utf-8-sig")
-    mapping_df = xlsx.read_workbook(mapping_excel_path, sheet_name if sheet_name else 0)
-
-    if not old_col or not new_col:
-        cols = list(mapping_df.columns)
-        if len(cols) < 2:
-            raise ValueError("标签对照表至少需要两列")
-        old_col = old_col or cols[0]
-        new_col = new_col or cols[1]
-
-    label_map = {}
-    for _, row in mapping_df.iterrows():
-        old_label = str(row.get(old_col, "")).strip()
-        new_label = str(row.get(new_col, "")).strip()
-        if old_label and old_label.lower() != "nan" and new_label and new_label.lower() != "nan":
-            label_map[old_label] = new_label
+    label_map = _read_label_map(mapping_excel_path, sheet_name, old_col, new_col)
 
     if json_columns is None:
         json_columns = [c for c in (NEW_LABEL_JSON_COL, LABEL_JSON_COL) if c in df.columns]
-
-    counters = dict(
-        total_objects=0, total_labels=0, replaced_labels=0,
-        replaced_objects=0, replaced_rows=0, invalid_json_rows=0,
-        missing_name_objects=0,
-    )
-    unmatched_counter: dict = {}
-    diff_rows: list = []
-
     present_cols = [c for c in json_columns if c in df.columns]
-    col_values = {c: df[c].tolist() for c in present_cols}
-    sources = df["source"].tolist() if "source" in df.columns else [None] * len(df)
 
-    for i in range(len(df)):
-        row_replaced = False
-        for col in present_cols:
-            json_str = col_values[col][i]
-            if json_str is None or not isinstance(json_str, str) or not json_str:
-                continue
-            try:
-                data = json.loads(json_str)
-            except json.JSONDecodeError:
-                counters["invalid_json_rows"] += 1
-                continue
-            objects = data.get("objects")
-            if not isinstance(objects, list):
-                continue
-            row_diff = []
-            for obj in objects:
-                if not isinstance(obj, dict):
-                    continue
-                counters["total_objects"] += 1
-                raw_name = obj.get("name")
-                if raw_name is None:
-                    counters["missing_name_objects"] += 1
-                    continue
-                for lbl in split_object_labels(raw_name):
-                    if lbl not in label_map:
-                        unmatched_counter[lbl] = unmatched_counter.get(lbl, 0) + 1
-                new_name, replaced, label_count = replace_label_tokens(raw_name, label_map)
-                counters["total_labels"] += label_count
-                if replaced > 0:
-                    obj["name"] = new_name
-                    counters["replaced_labels"] += replaced
-                    counters["replaced_objects"] += 1
-                    row_replaced = True
-                if raw_name != new_name:
-                    row_diff.append((raw_name, new_name))
-            data["objects"] = objects
-            col_values[col][i] = json.dumps(data, ensure_ascii=False)
-            if row_diff:
-                diff_rows.append({
-                    "source": sources[i],
-                    "column": col,
-                    "before": "；".join(p[0] for p in row_diff),
-                    "after": "；".join(p[1] for p in row_diff),
-                })
-        if row_replaced:
-            counters["replaced_rows"] += 1
+    totals = {
+        "total_objects": 0, "total_labels": 0, "replaced_labels": 0,
+        "replaced_objects": 0, "invalid_json_rows": 0, "missing_name_objects": 0,
+    }
+    unmatched = pd.Series(dtype="int64")
+    diff_records: list = []  # (row, col_order, before, after)
+    rows_with_replacement = np.zeros(len(df), dtype=bool)
+    sources = df["source"] if "source" in df.columns else pd.Series([None] * len(df))
 
-    for col in present_cols:
-        df[col] = col_values[col]
+    for col_order, col in enumerate(present_cols):
+        cells = df[col]
+        table = columnar.build_table(cells.tolist())
+
+        non_empty = cells.notna().to_numpy() & (cells.astype(str) != "").to_numpy()
+        totals["invalid_json_rows"] += int(
+            ((table.status == ROW_INVALID) & non_empty).sum()
+        )
+        totals["total_objects"] += table.m
+        totals["missing_name_objects"] += int(
+            ((table.name_kind == 0) | (table.name_kind == 2)).sum()
+        )
+
+        tf = _token_frame(table)
+        totals["total_labels"] += len(tf)
+        if len(tf) == 0 and table.m == 0:
+            continue
+
+        in_map = tf["tok"].isin(label_map.keys()).to_numpy() if len(tf) else np.zeros(0, bool)
+        if len(tf):
+            unmatched = unmatched.add(
+                tf.loc[~in_map, "tok"].value_counts(), fill_value=0
+            )
+            mapped = tf["tok"].map(label_map).fillna(tf["tok"])
+            # dedup + sort per object, comma-join (reference: utils.py:664-679)
+            uniq = (
+                pd.DataFrame({"obj": tf["obj"].to_numpy(), "tok": mapped.to_numpy()})
+                .drop_duplicates()
+                .sort_values(["obj", "tok"])
+            )
+            new_names = uniq.groupby("obj")["tok"].agg(",".join)
+            replaced_per_obj = pd.Series(in_map, index=tf["obj"].to_numpy()).groupby(level=0).sum()
+        else:
+            new_names = pd.Series(dtype=object)
+            replaced_per_obj = pd.Series(dtype="int64")
+
+        # objects whose raw name is truthy but yields zero tokens still get
+        # new_name == "" for diff purposes
+        named_objs = np.flatnonzero(
+            [(n is not None and n != "") for n in table.names]
+        )
+        full_new = pd.Series("", index=named_objs, dtype=object)
+        full_new.update(new_names)
+        raw_names = pd.Series(table.names, dtype=object).iloc[named_objs]
+
+        n_replaced = pd.Series(0, index=named_objs, dtype="int64")
+        n_replaced.update(replaced_per_obj)
+        do_rename = n_replaced > 0
+        totals["replaced_labels"] += int(n_replaced.sum())
+        totals["replaced_objects"] += int(do_rename.sum())
+
+        rename_vec: list = [None] * table.m
+        for obj in named_objs[do_rename.to_numpy()]:
+            rename_vec[obj] = full_new[obj]
+        rewritten = columnar.apply_renames(table, rename_vec)
+
+        changed_rows = {
+            int(table.obj_row[o])
+            for o in named_objs[do_rename.to_numpy()]
+        }
+        rows_with_replacement[list(changed_rows)] = True
+
+        new_cells = cells.copy()
+        for i, text in enumerate(rewritten):
+            if text is not None:
+                new_cells.iat[i] = text
+        df[col] = new_cells
+
+        # diff rows: any object whose display name changed (even reorder-only)
+        diff_mask = (raw_names.to_numpy() != full_new.to_numpy())
+        if diff_mask.any():
+            dd = pd.DataFrame({
+                "obj": named_objs[diff_mask],
+                "before": raw_names.to_numpy()[diff_mask],
+                "after": full_new.to_numpy()[diff_mask],
+            })
+            dd["row"] = table.obj_row[dd["obj"].to_numpy()]
+            for row, grp in dd.groupby("row", sort=True):
+                diff_records.append((
+                    int(row), col_order,
+                    "；".join(grp["before"]), "；".join(grp["after"]),
+                ))
+
+    diff_records.sort()
+    diff_rows = [
+        {
+            "source": sources.iloc[row], "column": present_cols[c],
+            "before": before, "after": after,
+        }
+        for row, c, before, after in diff_records
+    ]
 
     output_csv_path = Path(output_csv_path)
     output_csv_path.parent.mkdir(parents=True, exist_ok=True)
@@ -498,25 +526,27 @@ def replace_labels_by_mapping(
     unmatched_path = None
     if unmatched_excel_path:
         unmatched_path = Path(unmatched_excel_path)
-        if unmatched_counter:
-            unmatched_df = pd.DataFrame(
-                [{"标签": k, "数量": v} for k, v in unmatched_counter.items()]
-            ).sort_values("数量", ascending=False)
-        else:
-            unmatched_df = pd.DataFrame(columns=["标签", "数量"])
+        unmatched_df = (
+            unmatched.astype("int64")
+            .sort_values(ascending=False)
+            .rename_axis("标签")
+            .reset_index(name="数量")
+            if len(unmatched)
+            else pd.DataFrame(columns=["标签", "数量"])
+        )
         xlsx.to_excel(unmatched_df, unmatched_path)
 
     summary = {
         "total_rows": len(df),
-        "replaced_rows": counters["replaced_rows"],
-        "total_objects": counters["total_objects"],
-        "replaced_objects": counters["replaced_objects"],
-        "total_labels": counters["total_labels"],
-        "replaced_labels": counters["replaced_labels"],
-        "invalid_json_rows": counters["invalid_json_rows"],
-        "missing_name_objects": counters["missing_name_objects"],
+        "replaced_rows": int(rows_with_replacement.sum()),
+        "total_objects": totals["total_objects"],
+        "replaced_objects": totals["replaced_objects"],
+        "total_labels": totals["total_labels"],
+        "replaced_labels": totals["replaced_labels"],
+        "invalid_json_rows": totals["invalid_json_rows"],
+        "missing_name_objects": totals["missing_name_objects"],
         "mapping_size": len(label_map),
-        "unmatched_labels": len(unmatched_counter),
+        "unmatched_labels": len(unmatched),
     }
     return {
         "output_csv": output_csv_path,
@@ -528,8 +558,39 @@ def replace_labels_by_mapping(
 
 
 # ---------------------------------------------------------------------------
-# Step 7: rule-based category split (with row explosion)
+# Step 7: rule-based category split (columnar row explosion)
 # ---------------------------------------------------------------------------
+
+
+def _read_split_rules(
+    rules_excel_path, rule_mode, sheet_name, label_col, category_col
+) -> dict:
+    rules_df = xlsx.read_workbook(rules_excel_path, sheet_name if sheet_name else 0)
+    mapping: dict = {}
+    if rule_mode == "wide":
+        for col in rules_df.columns:
+            category = str(col).strip()
+            if not category:
+                continue
+            for cell in rules_df[col].dropna():
+                for label in split_label_cell(cell):
+                    mapping[label] = category
+    elif rule_mode == "two_column":
+        labels = rules_df[label_col].astype(str).str.strip()
+        cats = rules_df[category_col].astype(str).str.strip()
+        valid = (
+            (labels != "") & (cats != "")
+            & (labels.str.lower() != "nan") & (cats.str.lower() != "nan")
+        )
+        mapping.update(zip(labels[valid], cats[valid]))
+    return mapping
+
+
+_ERR_BY_STATUS = {
+    ROW_NULL: "空数据",
+    ROW_INVALID: "JSON解析失败",
+    ROW_NON_OBJECT: "objects不是列表",
+}
 
 
 def split_dataset_by_rules(
@@ -549,153 +610,193 @@ def split_dataset_by_rules(
     """Explode rows (object x label -> one single-object row), assign categories
     by rules Excel, shuffle deterministically, write 3-sheet train/val/test
     Excel per category plus unclassified/split_counts audits
-    (reference: core/processor.py:654-831)."""
+    (reference: core/processor.py:654-831).
+
+    Columnar: one table scan of the chosen JSON column; token explosion and
+    rule lookup are vectorized; exploded rows materialize via df.take plus a
+    single-object span splice per exploded row.
+    """
     if not os.path.exists(input_csv_path):
         raise FileNotFoundError(f"输入CSV不存在：{input_csv_path}")
     if not os.path.exists(rules_excel_path):
         raise FileNotFoundError(f"规则Excel不存在：{rules_excel_path}")
 
     ratio_sum = train_ratio + val_ratio + test_ratio
-    train_ratio, val_ratio, test_ratio = (
-        train_ratio / ratio_sum, val_ratio / ratio_sum, test_ratio / ratio_sum,
-    )
+    train_ratio, val_ratio = train_ratio / ratio_sum, val_ratio / ratio_sum
 
     df = pd.read_csv(input_csv_path, encoding="utf-8-sig")
-
     if json_columns is None:
         json_columns = [c for c in (NEW_LABEL_JSON_COL, LABEL_JSON_COL) if c in df.columns]
+    present_cols = [c for c in json_columns if c in df.columns]
 
-    rules_df = xlsx.read_workbook(rules_excel_path, sheet_name if sheet_name else 0)
-    label_to_category: dict = {}
-    if rule_mode == "wide":
-        for col in rules_df.columns:
-            category = str(col).strip()
-            if not category:
-                continue
-            for cell in rules_df[col].dropna():
-                for label in split_label_cell(cell):
-                    label_to_category[label] = category
-    elif rule_mode == "two_column":
-        for _, row in rules_df.iterrows():
-            label = str(row.get(label_col, "")).strip()
-            category = str(row.get(category_col, "")).strip()
-            if label and category and label.lower() != "nan" and category.lower() != "nan":
-                label_to_category[label] = category
+    rules = _read_split_rules(
+        rules_excel_path, rule_mode, sheet_name, label_col, category_col
+    )
+
+    # pick the first non-empty JSON cell per row (reference column priority)
+    chosen = pd.Series([None] * len(df), dtype=object)
+    for col in present_cols:
+        vals = df[col]
+        usable = vals.apply(lambda v: isinstance(v, str) and bool(v))
+        fill = chosen.isna() & usable
+        chosen[fill] = vals[fill]
+
+    table = columnar.build_table(chosen.tolist())
+    n_objs_per_row = np.diff(table.obj_offsets)
+
+    # --- row-level error classification --------------------------------------
+    errors = pd.Series([None] * len(df), dtype=object)
+    for status, msg in _ERR_BY_STATUS.items():
+        errors[np.flatnonzero(table.status == status)] = msg
+    ok = table.status == ROW_OK
+    errors[ok & (table.objects_kind == 2)] = "objects不是列表"
+    empty_objs = ok & (table.objects_kind != 2) & (n_objs_per_row == 0) & (
+        (table.row_flags & columnar.RF_NONDICT_OBJECTS) == 0
+    )
+    errors[empty_objs] = "标注字段objects为空"
+    error_rows = errors.notna().to_numpy()
+
+    # --- object/token explosion ----------------------------------------------
+    tf = _token_frame(table)
+    tf["row"] = table.obj_row[tf["obj"].to_numpy()]
+    tf["category"] = tf["tok"].map(rules)
+
+    has_tokens = np.zeros(table.m, dtype=bool)
+    if len(tf):
+        has_tokens[tf["obj"].unique()] = True
+    noname_objs = np.flatnonzero(~has_tokens)
+    noname_rows = table.obj_row[noname_objs] if len(noname_objs) else np.array([], np.int64)
+
+    classified = tf[tf["category"].notna()]
+    unruled = tf[tf["category"].isna()]
+
+    # per-row raw label combo (sorted unique tokens, "，"-joined)
+    combos = pd.Series("", index=range(len(df)), dtype=object)
+    if len(tf):
+        combo_map = (
+            tf[["row", "tok"]].drop_duplicates().sort_values(["row", "tok"])
+            .groupby("row")["tok"].agg("，".join)
+        )
+        combos.update(combo_map)
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    category_rows: dict = {}
-    unclassified_rows: list = []
-    split_counts_rows: list = []
 
-    for _, row in df.iterrows():
-        json_str = None
-        for col in json_columns:
-            if col in row and isinstance(row[col], str) and row[col]:
-                json_str = row[col]
-                break
+    # --- exploded classified rows --------------------------------------------
+    exploded = None
+    if len(classified):
+        take_idx = classified["row"].to_numpy()
+        exploded = df.iloc[take_idx].reset_index(drop=True)
+        new_jsons = [
+            columnar.extract_single_object(table, int(j), str(lbl))
+            for j, lbl in zip(classified["obj"].to_numpy(), classified["tok"].to_numpy())
+        ]
+        for col in present_cols:
+            exploded[col] = new_jsons
+        exploded["分类标签"] = classified["tok"].to_numpy()
+        exploded["分类类别"] = classified["category"].to_numpy()
+        exploded["原始标签组合"] = combos.to_numpy()[take_idx]
 
-        data, objects, error = parse_data_objects(json_str)
-        if error or not objects:
-            row_copy = row.copy()
-            row_copy["无法分类原因"] = error or "标注字段objects为空"
-            unclassified_rows.append(row_copy)
-            split_counts_rows.append({
-                "source": row.get("source"),
-                "原始标签组合": "",
-                "拆分条数": 0,
-                "是否可分类": "否",
-                "无法分类原因": error or "标注字段objects为空",
-            })
-            continue
+    # --- unclassified audit ---------------------------------------------------
+    # order key: (row, phase) with phase 0 = row-level error, 1 = per-object/
+    # per-token detail, 2 = row-level "nothing classified"
+    uncls_parts: list = []
+    if error_rows.any():
+        idx = np.flatnonzero(error_rows)
+        part = df.iloc[idx].copy()
+        part["无法分类原因"] = errors.to_numpy()[idx]
+        part["_row"] = idx
+        part["_phase"] = 0
+        uncls_parts.append(part)
+    if len(noname_rows):
+        part = df.iloc[noname_rows].copy()
+        part["无法分类原因"] = "标注框缺少name字段"
+        part["_row"] = noname_rows
+        part["_phase"] = 1
+        uncls_parts.append(part)
+    if len(unruled):
+        idx = unruled["row"].to_numpy()
+        part = df.iloc[idx].copy()
+        part["无法分类原因"] = [f"标签{t}未在规则中定义" for t in unruled["tok"]]
+        part["无法分类标签"] = unruled["tok"].to_numpy()
+        part["_row"] = idx
+        part["_phase"] = 1
+        uncls_parts.append(part)
 
-        raw_label_set = set()
-        for obj in objects:
-            if isinstance(obj, dict) and obj.get("name"):
-                raw_label_set.update(split_object_labels(obj.get("name")))
-        raw_label_combo = "，".join(sorted(raw_label_set)) if raw_label_set else ""
+    # rows that produced no classified object at all (and weren't error rows)
+    classified_rows = np.zeros(len(df), dtype=bool)
+    if len(classified):
+        classified_rows[classified["row"].unique()] = True
+    reasons_by_row = pd.Series("", index=range(len(df)), dtype=object)
+    if len(unruled):
+        rr = (
+            unruled.assign(reason=[f"标签{t}未在规则中定义" for t in unruled["tok"]])
+            [["row", "reason"]].drop_duplicates().sort_values(["row", "reason"])
+            .groupby("row")["reason"].agg("；".join)
+        )
+        reasons_by_row.update(rr)
+    nothing_rows = np.flatnonzero(~classified_rows & ~error_rows)
+    if len(nothing_rows):
+        part = df.iloc[nothing_rows].copy()
+        fallback_reason = reasons_by_row.to_numpy()[nothing_rows]
+        part["无法分类原因"] = np.where(
+            fallback_reason == "", "标签无法匹配规则", fallback_reason
+        )
+        part["_row"] = nothing_rows
+        part["_phase"] = 2
+        uncls_parts.append(part)
 
-        row_expand_count = 0
-        row_reason_set: set = set()
-        any_classified = False
+    if uncls_parts:
+        uncls_df = pd.concat(uncls_parts, ignore_index=True)
+        uncls_df = uncls_df.sort_values(["_row", "_phase"], kind="stable")
+        uncls_df = uncls_df.drop(columns=["_row", "_phase"]).reset_index(drop=True)
+    else:
+        uncls_df = pd.DataFrame()
 
-        for obj in objects:
-            if not isinstance(obj, dict):
-                continue
-            labels = split_object_labels(obj.get("name"))
-            if not labels:
-                row_copy = row.copy()
-                row_copy["无法分类原因"] = "标注框缺少name字段"
-                unclassified_rows.append(row_copy)
-                continue
+    # --- split_counts audit ----------------------------------------------------
+    expand_counts = np.zeros(len(df), dtype=np.int64)
+    if len(classified):
+        vc = classified["row"].value_counts()
+        expand_counts[vc.index.to_numpy()] = vc.to_numpy()
+    statuses = np.where(
+        error_rows, "否",
+        np.where(
+            ~classified_rows, "否",
+            np.where(reasons_by_row.to_numpy() != "", "部分可分类", "是"),
+        ),
+    )
+    split_counts_df = pd.DataFrame({
+        "source": df["source"] if "source" in df.columns else None,
+        "原始标签组合": np.where(error_rows, "", combos.to_numpy()),
+        "拆分条数": expand_counts,
+        "是否可分类": statuses,
+        "无法分类原因": np.where(
+            error_rows, errors.fillna("").to_numpy(), reasons_by_row.to_numpy()
+        ),
+    })
 
-            for label in labels:
-                if label not in label_to_category:
-                    row_copy = row.copy()
-                    row_copy["无法分类原因"] = f"标签{label}未在规则中定义"
-                    row_copy["无法分类标签"] = label
-                    unclassified_rows.append(row_copy)
-                    row_reason_set.add(f"标签{label}未在规则中定义")
-                    continue
-
-                category = label_to_category[label]
-                new_row = row.copy()
-                obj_copy = copy.deepcopy(obj)
-                obj_copy["name"] = label
-                new_data = {k: v for k, v in data.items() if k != "objects"}
-                new_data["objects"] = [obj_copy]
-                new_json = json.dumps(new_data, ensure_ascii=False)
-                for col in json_columns:
-                    if col in df.columns:
-                        new_row[col] = new_json
-                new_row["分类标签"] = label
-                new_row["分类类别"] = category
-                new_row["原始标签组合"] = raw_label_combo
-                category_rows.setdefault(category, []).append(new_row)
-                any_classified = True
-                row_expand_count += 1
-
-        if not any_classified:
-            row_copy = row.copy()
-            row_copy["无法分类原因"] = (
-                "；".join(sorted(row_reason_set)) if row_reason_set else "标签无法匹配规则"
-            )
-            unclassified_rows.append(row_copy)
-
-        status = "部分可分类" if row_reason_set else "是"
-        if not any_classified:
-            status = "否"
-        split_counts_rows.append({
-            "source": row.get("source"),
-            "原始标签组合": raw_label_combo,
-            "拆分条数": row_expand_count,
-            "是否可分类": status,
-            "无法分类原因": "；".join(sorted(row_reason_set)),
-        })
-
+    # --- per-category shuffle + 3-way split -----------------------------------
     category_files = []
-    category_counts = {}
-    for category, rows in category_rows.items():
-        if not rows:
-            continue
-        category_counts[category] = len(rows)
-        cat_df = pd.DataFrame(rows)
-        cat_df = cat_df.sample(frac=1, random_state=random_seed).reset_index(drop=True)
-        n_total = len(cat_df)
-        n_train = int(n_total * train_ratio)
-        n_val = int(n_total * val_ratio)
-        out_path = output_dir / f"{safe_filename(category)}.xlsx"
-        xlsx.write_workbook(out_path, {
-            "train": cat_df.iloc[:n_train],
-            "val": cat_df.iloc[n_train:n_train + n_val],
-            "test": cat_df.iloc[n_train + n_val:],
-        })
-        category_files.append(out_path)
+    category_counts: dict = {}
+    if exploded is not None:
+        for category, cat_df in exploded.groupby("分类类别", sort=False):
+            cat_df = cat_df.sample(frac=1, random_state=random_seed).reset_index(drop=True)
+            category_counts[str(category)] = len(cat_df)
+            n_total = len(cat_df)
+            n_train = int(n_total * train_ratio)
+            n_val = int(n_total * val_ratio)
+            out_path = output_dir / f"{safe_filename(str(category))}.xlsx"
+            xlsx.write_workbook(out_path, {
+                "train": cat_df.iloc[:n_train],
+                "val": cat_df.iloc[n_train:n_train + n_val],
+                "test": cat_df.iloc[n_train + n_val:],
+            })
+            category_files.append(out_path)
 
     unclassified_path = output_dir / "unclassified.xlsx"
-    xlsx.to_excel(pd.DataFrame(unclassified_rows), unclassified_path)
+    xlsx.to_excel(uncls_df, unclassified_path)
     split_counts_path = output_dir / "split_counts.xlsx"
-    xlsx.to_excel(pd.DataFrame(split_counts_rows), split_counts_path)
+    xlsx.to_excel(split_counts_df, split_counts_path)
 
     return {
         "output_dir": output_dir,
@@ -703,9 +804,9 @@ def split_dataset_by_rules(
         "unclassified": unclassified_path,
         "split_counts": split_counts_path,
         "summary": {
-            "categories": len(category_rows),
+            "categories": len(category_counts),
             "classified": sum(category_counts.values()),
-            "unclassified": len(unclassified_rows),
+            "unclassified": len(uncls_df),
             "category_counts": category_counts,
         },
     }
@@ -722,7 +823,8 @@ def summarize_unclassified(
     json_columns: Optional[list] = None,
 ):
     """Aggregate unclassified rows by reason/label into a 3-sheet summary Excel
-    (reference: core/processor.py:833-891)."""
+    (reference: core/processor.py:833-891). Vectorized: reason/label columns
+    are histogrammed via pandas value_counts instead of a row loop."""
     if not os.path.exists(unclassified_excel_path):
         raise FileNotFoundError(f"无法分类文件不存在：{unclassified_excel_path}")
 
@@ -731,41 +833,46 @@ def summarize_unclassified(
     output_dir.mkdir(parents=True, exist_ok=True)
 
     reason_col = "无法分类原因"
-    if reason_col not in df.columns:
-        df[reason_col] = "未知原因"
+    reasons = (
+        df[reason_col] if reason_col in df.columns
+        else pd.Series(["未知原因"] * len(df))
+    ).fillna("未知原因").astype(str)
 
-    reason_counts = df[reason_col].fillna("未知原因").value_counts().reset_index()
-    reason_counts.columns = ["原因", "数量"]
+    reason_counts = reasons.value_counts().rename_axis("原因").reset_index(name="数量")
 
-    label_counter: dict = {}
-    reason_label_counter: dict = {}
-    reason_label_pattern = re.compile(r"^标签(.+?)(未在规则中定义)$")
+    # label per row: explicit 无法分类标签 tokens, else the label embedded in a
+    # "标签X未在规则中定义" reason, else the "无标签" bucket
+    if "无法分类标签" in df.columns:
+        explicit = df["无法分类标签"].apply(
+            lambda v: str(v) if v is not None and not (isinstance(v, float) and pd.isna(v)) else ""
+        )
+        token_lists = explicit.str.split(SEP_PATTERN, regex=True)
+        token_lists = token_lists.apply(
+            lambda ts: [t.strip() for t in ts if t and t.strip()] if isinstance(ts, list) else []
+        )
+    else:
+        token_lists = pd.Series([[] for _ in range(len(df))])
 
-    for _, row in df.iterrows():
-        reason = row.get(reason_col, "未知原因")
-        labels = []
-        if "无法分类标签" in df.columns:
-            labels = split_object_labels(row.get("无法分类标签"))
+    from_reason = reasons.str.extract(r"^标签(.+?)(?:未在规则中定义)$", expand=False)
+    rows = []
+    for i in range(len(df)):
+        labels = token_lists.iloc[i]
         if not labels:
-            match = reason_label_pattern.match(str(reason))
-            if match:
-                labels = [match.group(1)]
-            else:
-                label_counter["无标签"] = label_counter.get("无标签", 0) + 1
-                key = ("无标签", reason)
-                reason_label_counter[key] = reason_label_counter.get(key, 0) + 1
-                continue
+            embedded = from_reason.iloc[i]
+            labels = [embedded] if isinstance(embedded, str) else ["无标签"]
         for label in labels:
-            label_counter[label] = label_counter.get(label, 0) + 1
-            key = (label, reason)
-            reason_label_counter[key] = reason_label_counter.get(key, 0) + 1
+            rows.append((label, reasons.iloc[i]))
+    pair_df = pd.DataFrame(rows, columns=["标签", "原因"])
 
-    label_summary = pd.DataFrame(
-        [{"标签": k, "数量": v} for k, v in label_counter.items()]
-    ).sort_values("数量", ascending=False) if label_counter else pd.DataFrame(columns=["标签", "数量"])
-    reason_label_summary = pd.DataFrame(
-        [{"标签": k[0], "原因": k[1], "数量": v} for k, v in reason_label_counter.items()]
-    ).sort_values("数量", ascending=False) if reason_label_counter else pd.DataFrame(columns=["标签", "原因", "数量"])
+    label_summary = (
+        pair_df["标签"].value_counts().rename_axis("标签").reset_index(name="数量")
+        if len(pair_df) else pd.DataFrame(columns=["标签", "数量"])
+    )
+    reason_label_summary = (
+        pair_df.value_counts().rename_axis(["标签", "原因"]).reset_index(name="数量")
+        .sort_values("数量", ascending=False)
+        if len(pair_df) else pd.DataFrame(columns=["标签", "原因", "数量"])
+    )
 
     out_path = output_dir / "unclassified_summary.xlsx"
     xlsx.write_workbook(out_path, {

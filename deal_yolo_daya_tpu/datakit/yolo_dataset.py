@@ -8,38 +8,39 @@ skipped-row audit Excel, 50-row progress cadence, and the generator's
 unclamped 6-decimal ``cid cx cy w h`` label lines (core/processor.py:1045-1052
 — distinct from the clamped standalone converter in labels.py).
 
-Improvement over the reference: images for a whole split are prefetched
-concurrently before the row loop (download.prefetch_images) instead of
-serial in-loop downloads.
+Architecture differs from the reference's single row loop: a vectorized
+PLAN phase (one AnnTable scan per sheet resolves per-row skip reasons, the
+matching boxes and known image sizes as columns) followed by an IO-only
+EXECUTE phase (cache lookup, byte copy, label write). Images for a whole
+split are prefetched concurrently before execution.
 """
 
 from __future__ import annotations
 
+from collections import Counter
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import yaml
 from PIL import Image
 
 from ..utils import xlsx
 from ..utils.naming import safe_dataset_dir_name, safe_image_stem
+from . import columnar
 from .download import ensure_image_cached, prefetch_images
-from .labels import (
-    LABEL_JSON_COL,
-    NEW_LABEL_JSON_COL,
-    extract_boxes_with_labels,
-)
+from .labels import LABEL_JSON_COL, NEW_LABEL_JSON_COL
 
 
 def write_label_lines(filtered_boxes, class_id: int, width: float, height: float):
     """YOLO label lines for one image (no clamping, zero-size boxes dropped)."""
     lines = []
-    for _, x1, y1, x2, y2 in filtered_boxes:
+    for x1, y1, x2, y2 in filtered_boxes:
         x1, x2 = min(x1, x2), max(x1, x2)
         y1, y2 = min(y1, y2), max(y1, y2)
-        bw = max(x2 - x1, 0.0)
-        bh = max(y2 - y1, 0.0)
+        bw, bh = x2 - x1, y2 - y1
         if bw <= 0 or bh <= 0:
             continue
         lines.append(
@@ -47,6 +48,80 @@ def write_label_lines(filtered_boxes, class_id: int, width: float, height: float
             f"{bw / width:.6f} {bh / height:.6f}"
         )
     return lines
+
+
+@dataclass
+class _RowPlan:
+    """One sheet row after vectorized planning."""
+
+    source: Optional[str]
+    stem: str
+    class_id: int            # -1 when the label is missing/unknown
+    boxes: np.ndarray        # (k,4) absolute coords of label-matching objects
+    width: Optional[float]
+    height: Optional[float]
+    early_skip: Optional[str]  # plan-time skip reason (source/label)
+
+
+def _plan_sheet(df_split, source_col, label_col, json_cols, width_col,
+                height_col, class_to_id) -> list:
+    """Vectorized per-sheet planning: resolve sources, labels, matching boxes
+    and known sizes as columns; IO decisions are left to the execute phase."""
+    n = len(df_split)
+    sources = (
+        df_split[source_col] if source_col in df_split.columns
+        else pd.Series([None] * n)
+    )
+    has_source = sources.notna() & (sources.astype(str) != "")
+    labels = (
+        df_split[label_col].astype(str) if label_col in df_split.columns
+        else pd.Series([""] * n)
+    )
+    class_ids = labels.map(class_to_id).fillna(-1).astype(int).to_numpy()
+
+    # one scan resolves every row's boxes for its own label
+    cells = pd.Series([None] * n, dtype=object)
+    for col in json_cols:
+        if col in df_split.columns:
+            vals = df_split[col]
+            fill = cells.isna() & vals.notna() & (vals.astype(str) != "")
+            cells[fill] = vals[fill]
+    table = columnar.build_table(cells.tolist())
+
+    names = np.asarray(table.names, dtype=object)
+    label_per_obj = labels.to_numpy(dtype=object)[table.obj_row] if table.m else names
+    named = np.array([bool(x) for x in names], dtype=bool) if table.m else np.zeros(0, bool)
+    match = named & (names == label_per_obj) & table.bbox_ok() if table.m else named
+    counts = np.bincount(table.obj_row[match], minlength=n) if table.m else np.zeros(n, int)
+    boxes_by_row = np.split(table.box[match], np.cumsum(counts)[:-1]) if table.m else [
+        np.zeros((0, 4))
+    ] * n
+
+    def _size(col):
+        if col not in df_split.columns:
+            return [None] * n
+        return [None if pd.isna(v) or not v else float(v)
+                for v in df_split[col].tolist()]
+
+    widths, heights = _size(width_col), _size(height_col)
+
+    plans = []
+    for i in range(n):
+        src = str(sources.iloc[i]) if has_source.iloc[i] else None
+        early = None
+        if src is None:
+            early = "缺少source"
+        elif class_ids[i] < 0:
+            early = "缺少或无效分类标签"
+        plans.append(_RowPlan(
+            source=src,
+            stem=safe_image_stem(src, i) if src else "",
+            class_id=int(class_ids[i]),
+            boxes=boxes_by_row[i],
+            width=widths[i], height=heights[i],
+            early_skip=early,
+        ))
+    return plans
 
 
 def generate_yolo_datasets_from_excels(
@@ -70,126 +145,109 @@ def generate_yolo_datasets_from_excels(
     output_dir.mkdir(parents=True, exist_ok=True)
     cache_dir = Path(image_cache_dir) if image_cache_dir else (output_dir / "image_cache")
     cache_dir.mkdir(parents=True, exist_ok=True)
+    json_cols = (json_col_primary, json_col_fallback)
+
+    # ---- inventory phase: load workbooks, dedup directory names ------------
+    books = []  # (excel Path, category, dir_name, {split: df})
+    used_dir_names: set = set()
+    total_rows = 0
+    for idx_excel, excel_path in enumerate(category_excels):
+        if not excel_path or not Path(excel_path).exists():
+            continue
+        excel_path = Path(excel_path)
+        book = xlsx.read_workbook(excel_path, sheet_name=None)
+        sheets = {s: book[s] for s in ("train", "val", "test") if s in book}
+        total_rows += sum(len(d) for d in sheets.values())
+        base = safe_dataset_dir_name(excel_path.stem, f"category_{idx_excel:03d}")
+        dir_name, suffix = base, 1
+        while dir_name in used_dir_names:
+            dir_name = f"{base}_{suffix}"
+            suffix += 1
+        used_dir_names.add(dir_name)
+        books.append((excel_path, excel_path.stem, dir_name, sheets))
 
     datasets = []
     dataset_name_map = {}
     skipped = []
     dataset_stats = {}
-    total_rows = 0
-    processed_rows = 0
-    downloaded_images = 0
-    used_dir_names = set()
+    counters = Counter(processed=0, copied=0)
     last_info = None
 
-    # Pre-pass: total row count for progress reporting.
-    # Cache keys are normalized via Path() so './x.xlsx' and 'x.xlsx' agree
-    # with the main loop's rebound Path(excel_path).
-    sheet_cache = {}
-    for excel_path in category_excels:
-        if not excel_path or not Path(excel_path).exists():
-            continue
-        book = xlsx.read_workbook(excel_path, sheet_name=None)
-        sheet_cache[str(Path(excel_path))] = book
-        for split in ("train", "val", "test"):
-            if split in book:
-                total_rows += len(book[split])
+    def tick(category, split, excel_name, idx):
+        nonlocal last_info
+        last_info = (
+            counters["processed"], total_rows, counters["copied"], category,
+            split, f"idx_{idx}", "", excel_name, idx,
+        )
+        if progress_callback and counters["processed"] % 50 == 0:
+            progress_callback(*last_info)
+        counters["processed"] += 1
 
-    for idx_excel, excel_path in enumerate(category_excels):
-        if not excel_path or not Path(excel_path).exists():
-            continue
-        excel_path = Path(excel_path)
-        category_name = excel_path.stem
-        base_dir_name = safe_dataset_dir_name(category_name, f"category_{idx_excel:03d}")
-        dir_name = base_dir_name
-        suffix = 1
-        while dir_name in used_dir_names:
-            dir_name = f"{base_dir_name}_{suffix}"
-            suffix += 1
-        used_dir_names.add(dir_name)
+    for excel_path, category_name, dir_name, sheets in books:
         dataset_dir = output_dir / dir_name
-        dataset_name_map[dataset_dir.name] = category_name
-
-        images_root = dataset_dir / "images"
-        labels_root = dataset_dir / "labels"
+        dataset_name_map[dir_name] = category_name
         for split in ("train", "val", "test"):
-            (images_root / split).mkdir(parents=True, exist_ok=True)
-            (labels_root / split).mkdir(parents=True, exist_ok=True)
+            (dataset_dir / "images" / split).mkdir(parents=True, exist_ok=True)
+            (dataset_dir / "labels" / split).mkdir(parents=True, exist_ok=True)
 
-        book = sheet_cache[str(excel_path)]
-        split_sheets = [s for s in ("train", "val", "test") if s in book]
-
-        all_labels = []
-        for split in split_sheets:
-            df_split = book[split]
-            if label_col in df_split.columns:
-                all_labels.extend(str(v) for v in df_split[label_col].dropna())
-
+        # class list: sorted unique labels across splits, user order first
+        all_labels: list = []
+        for d in sheets.values():
+            if label_col in d.columns:
+                all_labels.extend(str(v) for v in d[label_col].dropna())
         classes = sorted(dict.fromkeys(all_labels))
         if class_order:
-            ordered = [c for c in class_order if c in classes]
-            classes = ordered + [c for c in classes if c not in ordered]
+            front = [c for c in class_order if c in classes]
+            classes = front + [c for c in classes if c not in front]
         class_to_id = {name: i for i, name in enumerate(classes)}
 
-        dataset_stats[category_name] = {"train": 0, "val": 0, "test": 0}
+        stats = dataset_stats.setdefault(category_name, {"train": 0, "val": 0, "test": 0})
 
-        for split in split_sheets:
-            df_split = book[split].sample(frac=1, random_state=random_seed).reset_index(drop=True)
+        for split, df_sheet in sheets.items():
+            df_split = df_sheet.sample(frac=1, random_state=random_seed).reset_index(drop=True)
 
-            if download_images and source_col in df_split.columns:
-                # Concurrent cache warm-up for every row we will touch.
-                sources = [
-                    str(s) for s in df_split[source_col].dropna().tolist() if s
-                ]
-                prefetch_images(sources, cache_dir, max_workers=prefetch_workers)
+            def skip(reason):
+                skipped.append({
+                    "category": category_name, "reason": reason, "split": split,
+                })
 
-            for idx, row in df_split.iterrows():
-                last_info = (
-                    processed_rows, total_rows, downloaded_images, category_name,
-                    split, f"idx_{idx}", "", excel_path.name, idx,
+            # ---- plan (vectorized) -----------------------------------------
+            plans = _plan_sheet(
+                df_split, source_col, label_col, json_cols,
+                width_col, height_col, class_to_id,
+            )
+            if download_images:
+                prefetch_images(
+                    [p.source for p in plans if p.source],
+                    cache_dir, max_workers=prefetch_workers,
                 )
-                if progress_callback and processed_rows % 50 == 0:
-                    progress_callback(*last_info)
 
-                source = row.get(source_col)
-                if not source or (isinstance(source, float) and pd.isna(source)):
-                    skipped.append({"category": category_name, "reason": "缺少source", "split": split})
-                    processed_rows += 1
+            # ---- execute (IO only) ------------------------------------------
+            images_dir = dataset_dir / "images" / split
+            labels_dir = dataset_dir / "labels" / split
+            for idx, plan in enumerate(plans):
+                tick(category_name, split, excel_path.name, idx)
+                if plan.early_skip:
+                    skip(plan.early_skip)
                     continue
 
-                label_value = str(row.get(label_col, ""))
-                if not label_value or label_value not in class_to_id:
-                    skipped.append({"category": category_name, "reason": "缺少或无效分类标签", "split": split})
-                    processed_rows += 1
-                    continue
-
-                image_stem = safe_image_stem(str(source), idx)
-                label_path = labels_root / split / f"{image_stem}.txt"
-
+                label_path = labels_dir / f"{plan.stem}.txt"
                 if resume and label_path.exists() and label_path.stat().st_size > 0:
-                    dataset_stats[category_name][split] += 1
-                    processed_rows += 1
+                    stats[split] += 1
                     continue
 
-                json_str = row.get(json_col_primary) or row.get(json_col_fallback)
-                boxes = extract_boxes_with_labels(json_str)
-                filtered_boxes = [b for b in boxes if b[0] == label_value]
-                if not filtered_boxes:
-                    skipped.append({"category": category_name, "reason": "无匹配标签框", "split": split})
-                    processed_rows += 1
+                if len(plan.boxes) == 0:
+                    skip("无匹配标签框")
                     continue
 
-                image_path = None
                 if download_images:
-                    image_path = ensure_image_cached(str(source), cache_dir)
-                elif Path(str(source)).exists():
-                    image_path = Path(str(source))
+                    image_path = ensure_image_cached(plan.source, cache_dir)
+                elif Path(plan.source).exists():
+                    image_path = Path(plan.source)
+                else:
+                    image_path = None
 
-                width = row.get(width_col)
-                height = row.get(height_col)
-                if isinstance(width, float) and pd.isna(width):
-                    width = None
-                if isinstance(height, float) and pd.isna(height):
-                    height = None
+                width, height = plan.width, plan.height
                 if (not width or not height) and image_path:
                     try:
                         with Image.open(image_path) as img:
@@ -197,40 +255,29 @@ def generate_yolo_datasets_from_excels(
                     except Exception:
                         pass
                 if not width or not height:
-                    skipped.append({"category": category_name, "reason": "缺少图像尺寸", "split": split})
-                    processed_rows += 1
+                    skip("缺少图像尺寸")
                     continue
 
-                out_image = images_root / split / (
-                    f"{image_stem}{image_path.suffix if image_path else '.jpg'}"
-                )
-                if image_path:
-                    if not out_image.exists():
-                        try:
-                            out_image.write_bytes(Path(image_path).read_bytes())
-                            downloaded_images += 1
-                        except Exception:
-                            skipped.append({"category": category_name, "reason": "图片写入失败", "split": split})
-                            processed_rows += 1
-                            continue
-                else:
-                    skipped.append({"category": category_name, "reason": "图片下载失败", "split": split})
-                    processed_rows += 1
+                if image_path is None:
+                    skip("图片下载失败")
                     continue
+                out_image = images_dir / f"{plan.stem}{Path(image_path).suffix or '.jpg'}"
+                if not out_image.exists():
+                    try:
+                        out_image.write_bytes(Path(image_path).read_bytes())
+                        counters["copied"] += 1
+                    except Exception:
+                        skip("图片写入失败")
+                        continue
 
-                label_lines = write_label_lines(
-                    filtered_boxes, class_to_id[label_value], width, height
-                )
-                if label_lines:
-                    label_path.write_text("\n".join(label_lines), encoding="utf-8")
-                    dataset_stats[category_name][split] += 1
-                else:
-                    skipped.append({"category": category_name, "reason": "标注框无效", "split": split})
+                lines = write_label_lines(plan.boxes, plan.class_id, width, height)
+                if not lines:
+                    skip("标注框无效")
+                    continue
+                label_path.write_text("\n".join(lines), encoding="utf-8")
+                stats[split] += 1
 
-                processed_rows += 1
-
-        data_yaml = dataset_dir / "data.yaml"
-        data_yaml.write_text(
+        (dataset_dir / "data.yaml").write_text(
             yaml.dump(
                 {
                     "path": str(dataset_dir),
@@ -263,10 +310,39 @@ def generate_yolo_datasets_from_excels(
         "skipped": skipped_path,
         "stats": dataset_stats,
         "total": total_rows,
-        "processed": processed_rows,
-        "downloaded": downloaded_images,
+        "processed": counters["processed"],
+        "downloaded": counters["copied"],
         "dataset_name_map": dataset_name_map,
     }
+
+
+def _count_labels_in_dir(label_dir: Path, names: list):
+    """(per-label image counts, per-label box counts, n label files)."""
+    img_counts: Counter = Counter()
+    box_counts: Counter = Counter()
+    total_images = 0
+    if not label_dir.exists():
+        return img_counts, box_counts, 0
+    for txt_path in label_dir.glob("*.txt"):
+        total_images += 1
+        try:
+            lines = txt_path.read_text(encoding="utf-8", errors="ignore").splitlines()
+        except Exception:
+            continue
+        row_labels = set()
+        for line in lines:
+            parts = line.split()
+            if not parts:
+                continue
+            try:
+                cid = int(float(parts[0]))
+            except Exception:
+                continue
+            label = names[cid] if cid < len(names) else str(cid)
+            row_labels.add(label)
+            box_counts[label] += 1
+        img_counts.update(row_labels)
+    return img_counts, box_counts, total_images
 
 
 def summarize_yolo_label_counts(dataset_dirs):
@@ -275,6 +351,20 @@ def summarize_yolo_label_counts(dataset_dirs):
     (reference: core/processor.py:1089-1163)."""
     stats = {}
     flat_rows = []
+
+    def flat(dataset, split, img_counts, box_counts, denom):
+        for label in set(img_counts) | set(box_counts):
+            flat_rows.append({
+                "数据集": dataset, "split": split, "标签": label,
+                "图片数量": img_counts.get(label, 0),
+                "标注框数量": box_counts.get(label, 0),
+                "占比%": (
+                    f"{(img_counts.get(label, 0) / denom * 100):.1f}%"
+                    if denom else "0.0%"
+                ),
+                "split总图片数": denom,
+            })
+
     for dataset_dir in dataset_dirs or []:
         if not dataset_dir:
             continue
@@ -282,82 +372,39 @@ def summarize_yolo_label_counts(dataset_dirs):
         if not dataset_path.exists():
             continue
 
-        names = []
+        names: list = []
         data_yaml = dataset_path / "data.yaml"
         if data_yaml.exists():
             try:
-                data = yaml.safe_load(data_yaml.read_text(encoding="utf-8"))
-                names = data.get("names") or []
+                meta = yaml.safe_load(data_yaml.read_text(encoding="utf-8"))
+                names = meta.get("names") or []
             except Exception:
                 pass
 
-        dataset_key = dataset_path.name
         split_stats = {}
-        total_images_all = 0
-        total_img_counts: dict = {}
-        total_box_counts: dict = {}
-
+        all_imgs: Counter = Counter()
+        all_boxes: Counter = Counter()
+        n_all = 0
         for split in ("train", "val", "test"):
-            label_dir = dataset_path / "labels" / split
-            img_counts: dict = {}
-            box_counts: dict = {}
-            total_images = 0
-            if label_dir.exists():
-                for txt_path in label_dir.glob("*.txt"):
-                    total_images += 1
-                    try:
-                        lines = txt_path.read_text(encoding="utf-8", errors="ignore").splitlines()
-                    except Exception:
-                        continue
-                    labels_in_image = set()
-                    for line in lines:
-                        parts = line.strip().split()
-                        if not parts:
-                            continue
-                        try:
-                            class_id = int(float(parts[0]))
-                            label_name = names[class_id] if class_id < len(names) else str(class_id)
-                            labels_in_image.add(label_name)
-                            box_counts[label_name] = box_counts.get(label_name, 0) + 1
-                        except Exception:
-                            continue
-                    for label in labels_in_image:
-                        img_counts[label] = img_counts.get(label, 0) + 1
-
+            img_counts, box_counts, n_imgs = _count_labels_in_dir(
+                dataset_path / "labels" / split, names
+            )
             split_stats[split] = {
-                "total_images": total_images,
-                "label_counts": img_counts,
-                "box_counts": box_counts,
+                "total_images": n_imgs,
+                "label_counts": dict(img_counts),
+                "box_counts": dict(box_counts),
             }
-            total_images_all += total_images
-            for label, count in img_counts.items():
-                total_img_counts[label] = total_img_counts.get(label, 0) + count
-            for label, count in box_counts.items():
-                total_box_counts[label] = total_box_counts.get(label, 0) + count
-
-            for label in set(img_counts) | set(box_counts):
-                flat_rows.append({
-                    "数据集": dataset_key, "split": split, "标签": label,
-                    "图片数量": img_counts.get(label, 0),
-                    "标注框数量": box_counts.get(label, 0),
-                    "占比%": f"{(img_counts.get(label, 0) / total_images * 100):.1f}%" if total_images else "0.0%",
-                    "split总图片数": total_images,
-                })
+            all_imgs.update(img_counts)
+            all_boxes.update(box_counts)
+            n_all += n_imgs
+            flat(dataset_path.name, split, img_counts, box_counts, n_imgs)
 
         split_stats["all"] = {
-            "total_images": total_images_all,
-            "label_counts": total_img_counts,
-            "box_counts": total_box_counts,
+            "total_images": n_all,
+            "label_counts": dict(all_imgs),
+            "box_counts": dict(all_boxes),
         }
-        stats[dataset_key] = split_stats
-
-        for label in set(total_img_counts) | set(total_box_counts):
-            flat_rows.append({
-                "数据集": dataset_key, "split": "all", "标签": label,
-                "图片数量": total_img_counts.get(label, 0),
-                "标注框数量": total_box_counts.get(label, 0),
-                "占比%": f"{(total_img_counts.get(label, 0) / total_images_all * 100):.1f}%" if total_images_all else "0.0%",
-                "split总图片数": total_images_all,
-            })
+        stats[dataset_path.name] = split_stats
+        flat(dataset_path.name, "all", all_imgs, all_boxes, n_all)
 
     return stats, pd.DataFrame(flat_rows)

@@ -67,6 +67,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.scan_boxes.restype = None
+        lib.count_ann.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
+        lib.count_ann.restype = None
+        lib.scan_ann.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
+        lib.scan_ann.restype = None
         _LIB = lib
         return _LIB
 
@@ -102,3 +122,58 @@ def scan_boxes_native(
         out_boxes, out_mask, out_counts, out_wh, n_threads,
     )
     return out_boxes, out_mask.astype(bool), out_counts, out_wh
+
+
+def scan_annotations_native(rows: Sequence, n_threads: Optional[int] = None):
+    """Structural scan of an annotation-JSON string column.
+
+    Returns the raw columnar parse (see datakit.columnar.AnnTable for the
+    high-level wrapper) or None when the native library is unavailable:
+
+    ``(encoded, row_i32, row_wh, obj_offsets, obj_i32, obj_box, name_pos,
+    arena_bytes)``
+
+    - encoded: per-row utf-8 bytes (None for non-string cells) — byte spans
+      in the other arrays index into these.
+    - row_i32 (n,6): status, objects_kind, row_flags, objects_s, objects_e, 0.
+      status: 0 null, 1 ok, 2 invalid JSON, 3 valid JSON but not an object.
+    - row_wh (n,2) f64: width/height (NaN when absent/non-numeric).
+    - obj_i32 (m,12): obj_s, obj_e, name_s, name_e, ptlist_s, ptlist_e,
+      poly_s, poly_e, npts, flags, name_len, 0.
+    - obj_box (m,4) f64: polygon coordinate extents (valid iff flags bit 2).
+    - name_pos (m,2) int64: span into arena_bytes (unescaped UTF-8 names).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(rows)
+    encoded = [
+        (r.encode("utf-8") if isinstance(r, str) else None) for r in rows
+    ]
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    arr = (ctypes.c_char_p * max(n, 1))(*encoded)
+    nobj = np.zeros(max(n, 1), np.int32)
+    name_bytes = np.zeros(max(n, 1), np.int64)
+    lib.count_ann(arr, n, nobj, name_bytes, n_threads)
+    obj_offsets = np.zeros(n + 1, np.int64)
+    name_off = np.zeros(n + 1, np.int64)
+    if n:
+        np.cumsum(nobj[:n], out=obj_offsets[1:])
+        np.cumsum(name_bytes[:n], out=name_off[1:])
+    m = int(obj_offsets[-1])
+    row_i32 = np.zeros((max(n, 1), 6), np.int32)
+    row_wh = np.zeros((max(n, 1), 2), np.float64)
+    obj_i32 = np.zeros((max(m, 1), 12), np.int32)
+    obj_box = np.zeros((max(m, 1), 4), np.float64)
+    name_pos = np.zeros((max(m, 1), 2), np.int64)
+    arena = np.zeros(max(int(name_off[-1]), 1), np.uint8)
+    lib.scan_ann(
+        arr, n, obj_offsets, name_off, row_i32.reshape(-1),
+        row_wh.reshape(-1), obj_i32.reshape(-1), obj_box.reshape(-1),
+        name_pos.reshape(-1), arena, n_threads,
+    )
+    return (
+        encoded, row_i32[:n], row_wh[:n], obj_offsets, obj_i32[:m],
+        obj_box[:m], name_pos[:m], arena.tobytes(),
+    )

@@ -292,7 +292,686 @@ int scan_row(const char* json, int two_point_only, int max_boxes,
   return n_boxes;
 }
 
+// ---------------------------------------------------------------------------
+// Structural annotation scanner (strict).
+//
+// While scan_boxes answers "what boxes are in this cell", the structural
+// scanner produces a full columnar *annotation table* for a string column:
+// per-row parse status + width/height + the byte span of the objects array,
+// and per-object the spans of the object / name value / polygon value /
+// ptList value, the unescaped name text (written into a shared arena), the
+// point count and the polygon's coordinate extents. Downstream steps rewrite
+// cells by splicing replacement text into these spans instead of
+// json.loads/json.dumps round-trips.
+//
+// Strictness: rows are validated with full JSON grammar (incl. string escape
+// rules and Python's NaN/Infinity extensions) so that status codes agree
+// with json.loads: 0 = null input, 1 = ok top-level object, 2 = invalid
+// JSON, 3 = valid JSON but top-level not an object.
+// ---------------------------------------------------------------------------
+
+namespace ann {
+
+constexpr int32_t F_NAME_KIND_MASK = 0x3;  // 0 absent, 1 string, 2 null, 3 other
+constexpr int32_t F_BBOX_OK = 1 << 2;
+constexpr int32_t F_TWOPT_OK = 1 << 3;
+constexpr int32_t F_HAS_POLY = 1 << 4;
+constexpr int32_t F_HAS_PTLIST = 1 << 5;
+constexpr int32_t F_POLY_EMPTY = 1 << 6;
+constexpr int32_t F_OBJ_EMPTY = 1 << 7;
+constexpr int32_t F_POLY_IS_OBJ = 1 << 8;
+constexpr int32_t F_PTLIST_IS_ARR = 1 << 9;
+
+constexpr uint8_t ROW_NULL = 0;
+constexpr uint8_t ROW_OK = 1;
+constexpr uint8_t ROW_INVALID = 2;
+constexpr uint8_t ROW_NON_OBJECT = 3;
+
+constexpr uint8_t RF_NONDICT_OBJECTS = 1;  // objects array holds non-dict entries
+
+struct RowOut {
+  uint8_t status = ROW_NULL;
+  uint8_t objects_kind = 0;  // 0 absent, 1 list, 2 present-not-list
+  uint8_t row_flags = 0;
+  int32_t objects_s = -1, objects_e = -1;
+  double w = std::nan(""), h = std::nan("");
+};
+
+struct ObjOut {
+  int32_t obj_s = -1, obj_e = -1;
+  int32_t name_s = -1, name_e = -1;
+  int32_t ptlist_s = -1, ptlist_e = -1;
+  int32_t poly_s = -1, poly_e = -1;
+  int32_t npts = 0;
+  int32_t flags = 0;
+  int32_t name_len = 0;                    // unescaped UTF-8 byte length
+  const char* name_tok_s = nullptr;        // raw (escaped) content or token
+  const char* name_tok_e = nullptr;
+  bool name_is_escaped_string = false;     // content needs json_unescape
+  double box[4] = {0, 0, 0, 0};
+};
+
+// Unescape JSON string content (between quotes). Returns output byte length
+// or -1 on a bad escape. dst may be null to count only. Lone surrogates are
+// replaced with U+FFFD.
+int64_t json_unescape(const char* src, int64_t len, char* dst) {
+  int64_t out = 0;
+  auto put = [&](char ch) { if (dst) dst[out] = ch; ++out; };
+  auto put_cp = [&](uint32_t cp) {
+    if (cp < 0x80) put((char)cp);
+    else if (cp < 0x800) {
+      put((char)(0xC0 | (cp >> 6)));
+      put((char)(0x80 | (cp & 0x3F)));
+    } else if (cp < 0x10000) {
+      put((char)(0xE0 | (cp >> 12)));
+      put((char)(0x80 | ((cp >> 6) & 0x3F)));
+      put((char)(0x80 | (cp & 0x3F)));
+    } else {
+      put((char)(0xF0 | (cp >> 18)));
+      put((char)(0x80 | ((cp >> 12) & 0x3F)));
+      put((char)(0x80 | ((cp >> 6) & 0x3F)));
+      put((char)(0x80 | (cp & 0x3F)));
+    }
+  };
+  auto hex4 = [&](const char* p, uint32_t* v) -> bool {
+    uint32_t acc = 0;
+    for (int i = 0; i < 4; ++i) {
+      char h = p[i];
+      uint32_t d;
+      if (h >= '0' && h <= '9') d = h - '0';
+      else if (h >= 'a' && h <= 'f') d = h - 'a' + 10;
+      else if (h >= 'A' && h <= 'F') d = h - 'A' + 10;
+      else return false;
+      acc = (acc << 4) | d;
+    }
+    *v = acc;
+    return true;
+  };
+  for (int64_t i = 0; i < len;) {
+    char ch = src[i];
+    if (ch != '\\') { put(ch); ++i; continue; }
+    if (i + 1 >= len) return -1;
+    char e = src[i + 1];
+    i += 2;
+    switch (e) {
+      case '"': put('"'); break;
+      case '\\': put('\\'); break;
+      case '/': put('/'); break;
+      case 'b': put('\b'); break;
+      case 'f': put('\f'); break;
+      case 'n': put('\n'); break;
+      case 'r': put('\r'); break;
+      case 't': put('\t'); break;
+      case 'u': {
+        if (i + 4 > len) return -1;
+        uint32_t cp;
+        if (!hex4(src + i, &cp)) return -1;
+        i += 4;
+        if (cp >= 0xD800 && cp <= 0xDBFF) {
+          if (i + 6 <= len && src[i] == '\\' && src[i + 1] == 'u') {
+            uint32_t lo;
+            if (!hex4(src + i + 2, &lo)) return -1;
+            if (lo >= 0xDC00 && lo <= 0xDFFF) {
+              cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+              i += 6;
+            } else {
+              cp = 0xFFFD;
+            }
+          } else {
+            cp = 0xFFFD;
+          }
+        } else if (cp >= 0xDC00 && cp <= 0xDFFF) {
+          cp = 0xFFFD;
+        }
+        put_cp(cp);
+        break;
+      }
+      default:
+        return -1;
+    }
+  }
+  return out;
+}
+
+// Strict string validation (cursor at opening quote).
+bool v_string(Cursor& c) {
+  if (c.eof() || *c.p != '"') return false;
+  ++c.p;
+  while (!c.eof()) {
+    unsigned char ch = (unsigned char)*c.p;
+    if (ch == '"') { ++c.p; return true; }
+    if (ch == '\\') {
+      ++c.p;
+      if (c.eof()) return false;
+      char e = *c.p;
+      if (e == 'u') {
+        if (c.end - c.p < 5) return false;
+        for (int i = 1; i <= 4; ++i)
+          if (!isxdigit((unsigned char)c.p[i])) return false;
+        c.p += 5;
+        continue;
+      }
+      if (!strchr("\"\\/bfnrt", e)) return false;
+      ++c.p;
+      continue;
+    }
+    if (ch < 0x20) return false;
+    ++c.p;
+  }
+  return false;
+}
+
+// Strict number (JSON grammar + Python's NaN/Infinity extensions).
+bool v_number(Cursor& c, double* out) {
+  const char* start = c.p;
+  bool neg = false;
+  if (!c.eof() && *c.p == '-') { neg = true; ++c.p; }
+  if (!c.eof() && (c.end - c.p) >= 8 && memcmp(c.p, "Infinity", 8) == 0) {
+    c.p += 8;
+    if (out) *out = neg ? -INFINITY : INFINITY;
+    return true;
+  }
+  if (!neg && !c.eof() && (c.end - c.p) >= 3 && memcmp(c.p, "NaN", 3) == 0) {
+    c.p += 3;
+    if (out) *out = std::nan("");
+    return true;
+  }
+  if (c.eof() || !isdigit((unsigned char)*c.p)) return false;
+  if (*c.p == '0') ++c.p;
+  else while (!c.eof() && isdigit((unsigned char)*c.p)) ++c.p;
+  if (!c.eof() && *c.p == '.') {
+    ++c.p;
+    if (c.eof() || !isdigit((unsigned char)*c.p)) return false;
+    while (!c.eof() && isdigit((unsigned char)*c.p)) ++c.p;
+  }
+  if (!c.eof() && (*c.p == 'e' || *c.p == 'E')) {
+    ++c.p;
+    if (!c.eof() && (*c.p == '+' || *c.p == '-')) ++c.p;
+    if (c.eof() || !isdigit((unsigned char)*c.p)) return false;
+    while (!c.eof() && isdigit((unsigned char)*c.p)) ++c.p;
+  }
+  if (out) { char* e2 = nullptr; *out = strtod(start, &e2); }
+  return true;
+}
+
+bool v_value(Cursor& c, int depth);
+
+bool v_object(Cursor& c, int depth) {
+  ++c.p;
+  skip_ws(c);
+  if (!c.eof() && *c.p == '}') { ++c.p; return true; }
+  while (true) {
+    skip_ws(c);
+    if (!v_string(c)) return false;
+    skip_ws(c);
+    if (c.eof() || *c.p != ':') return false;
+    ++c.p;
+    if (!v_value(c, depth)) return false;
+    skip_ws(c);
+    if (c.eof()) return false;
+    if (*c.p == ',') { ++c.p; continue; }
+    if (*c.p == '}') { ++c.p; return true; }
+    return false;
+  }
+}
+
+bool v_array(Cursor& c, int depth) {
+  ++c.p;
+  skip_ws(c);
+  if (!c.eof() && *c.p == ']') { ++c.p; return true; }
+  while (true) {
+    if (!v_value(c, depth)) return false;
+    skip_ws(c);
+    if (c.eof()) return false;
+    if (*c.p == ',') { ++c.p; continue; }
+    if (*c.p == ']') { ++c.p; return true; }
+    return false;
+  }
+}
+
+bool v_value(Cursor& c, int depth) {
+  if (depth > 400) return false;
+  skip_ws(c);
+  if (c.eof()) return false;
+  char ch = *c.p;
+  if (ch == '"') return v_string(c);
+  if (ch == '{') return v_object(c, depth + 1);
+  if (ch == '[') return v_array(c, depth + 1);
+  if (ch == 't') {
+    if (c.end - c.p >= 4 && memcmp(c.p, "true", 4) == 0) { c.p += 4; return true; }
+    return false;
+  }
+  if (ch == 'f') {
+    if (c.end - c.p >= 5 && memcmp(c.p, "false", 5) == 0) { c.p += 5; return true; }
+    return false;
+  }
+  if (ch == 'n') {
+    if (c.end - c.p >= 4 && memcmp(c.p, "null", 4) == 0) { c.p += 4; return true; }
+    return false;
+  }
+  return v_number(c, nullptr);
+}
+
+// Strict ptList parse with extents. Cursor at the value after "ptList":.
+bool parse_ptlist(Cursor& c, const char* base, ObjOut& o) {
+  skip_ws(c);
+  if (c.eof()) return false;
+  o.ptlist_s = (int32_t)(c.p - base);
+  o.flags |= F_HAS_PTLIST;
+  // Reset extents so a duplicate ptList key cleanly overrides the first.
+  o.npts = 0;
+  o.flags &= ~(F_BBOX_OK | F_TWOPT_OK | F_PTLIST_IS_ARR);
+  if (*c.p != '[') {
+    if (!v_value(c, 2)) return false;
+    o.ptlist_e = (int32_t)(c.p - base);
+    return true;
+  }
+  o.flags |= F_PTLIST_IS_ARR;
+  ++c.p;
+  int npts = 0, ncomplete = 0;
+  bool any_x = false, any_y = false;
+  double minx = 1e300, miny = 1e300, maxx = -1e300, maxy = -1e300;
+  skip_ws(c);
+  if (!c.eof() && *c.p == ']') { ++c.p; }
+  else while (true) {
+    skip_ws(c);
+    if (c.eof()) return false;
+    if (*c.p == '{') {
+      // point object: strict walk with x/y capture (last occurrence wins)
+      ++c.p;
+      double px = 0, py = 0;
+      bool has_x = false, has_y = false;
+      skip_ws(c);
+      if (!c.eof() && *c.p == '}') { ++c.p; }
+      else while (true) {
+        skip_ws(c);
+        if (c.eof() || *c.p != '"') return false;
+        Cursor probe = c;
+        bool is_x = match_key(c, "x");
+        bool is_y = false;
+        if (!is_x) { c = probe; is_y = match_key(c, "y"); }
+        if (is_x || is_y) {
+          skip_ws(c);
+          if (c.eof()) return false;
+          if (*c.p == 'n' && c.end - c.p >= 4 && memcmp(c.p, "null", 4) == 0) {
+            c.p += 4;
+            if (is_x) has_x = false; else has_y = false;
+          } else if (*c.p == '"' || *c.p == '{' || *c.p == '[' ||
+                     *c.p == 't' || *c.p == 'f') {
+            if (!v_value(c, 3)) return false;  // non-numeric: treat as absent
+            if (is_x) has_x = false; else has_y = false;
+          } else {
+            double v;
+            if (!v_number(c, &v)) return false;
+            if (is_x) { px = v; has_x = true; } else { py = v; has_y = true; }
+          }
+        } else {
+          c = probe;
+          if (!v_string(c)) return false;
+          skip_ws(c);
+          if (c.eof() || *c.p != ':') return false;
+          ++c.p;
+          if (!v_value(c, 3)) return false;
+        }
+        skip_ws(c);
+        if (c.eof()) return false;
+        if (*c.p == ',') { ++c.p; continue; }
+        if (*c.p == '}') { ++c.p; break; }
+        return false;
+      }
+      ++npts;
+      if (has_x) { any_x = true; minx = std::min(minx, px); maxx = std::max(maxx, px); }
+      if (has_y) { any_y = true; miny = std::min(miny, py); maxy = std::max(maxy, py); }
+      if (has_x && has_y) ++ncomplete;
+    } else {
+      if (!v_value(c, 2)) return false;
+      ++npts;
+    }
+    skip_ws(c);
+    if (c.eof()) return false;
+    if (*c.p == ',') { ++c.p; continue; }
+    if (*c.p == ']') { ++c.p; break; }
+    return false;
+  }
+  o.ptlist_e = (int32_t)(c.p - base);
+  o.npts = npts;
+  if (any_x && any_y) {
+    o.flags |= F_BBOX_OK;
+    o.box[0] = minx; o.box[1] = miny; o.box[2] = maxx; o.box[3] = maxy;
+  }
+  if (npts == 2 && ncomplete == 2) o.flags |= F_TWOPT_OK;
+  return true;
+}
+
+// Strict parse of one annotation object (cursor at '{').
+bool parse_object(Cursor& c, const char* base, ObjOut& o) {
+  o.obj_s = (int32_t)(c.p - base);
+  ++c.p;
+  skip_ws(c);
+  if (!c.eof() && *c.p == '}') {
+    ++c.p;
+    o.obj_e = (int32_t)(c.p - base);
+    o.flags |= F_OBJ_EMPTY;
+    return true;
+  }
+  while (true) {
+    skip_ws(c);
+    if (c.eof() || *c.p != '"') return false;
+    Cursor probe = c;
+    if (match_key(c, "name")) {
+      skip_ws(c);
+      if (c.eof()) return false;
+      o.name_s = (int32_t)(c.p - base);
+      o.flags &= ~F_NAME_KIND_MASK;
+      o.name_is_escaped_string = false;
+      if (*c.p == '"') {
+        const char* content = c.p + 1;
+        if (!v_string(c)) return false;
+        o.name_e = (int32_t)(c.p - base);
+        o.name_tok_s = content;
+        o.name_tok_e = c.p - 1;  // before closing quote
+        o.name_is_escaped_string = true;
+        int64_t ulen = json_unescape(content, o.name_tok_e - content, nullptr);
+        if (ulen < 0) return false;
+        o.name_len = (int32_t)ulen;
+        o.flags |= 1;
+      } else if (*c.p == 'n' && c.end - c.p >= 4 && memcmp(c.p, "null", 4) == 0) {
+        c.p += 4;
+        o.name_e = (int32_t)(c.p - base);
+        o.name_tok_s = o.name_tok_e = nullptr;
+        o.name_len = 0;
+        o.flags |= 2;
+      } else {
+        const char* vstart = c.p;
+        if (!v_value(c, 1)) return false;
+        o.name_e = (int32_t)(c.p - base);
+        o.name_tok_s = vstart;
+        o.name_tok_e = c.p;  // raw token text stands in for str(value)
+        o.name_len = (int32_t)(o.name_tok_e - o.name_tok_s);
+        o.flags |= 3;
+      }
+    } else {
+      c = probe;
+      if (match_key(c, "polygon")) {
+        skip_ws(c);
+        if (c.eof()) return false;
+        o.poly_s = (int32_t)(c.p - base);
+        o.flags |= F_HAS_POLY;
+        if (*c.p == '{') {
+          o.flags |= F_POLY_IS_OBJ;
+          ++c.p;
+          skip_ws(c);
+          if (!c.eof() && *c.p == '}') {
+            ++c.p;
+            o.flags |= F_POLY_EMPTY;
+          } else {
+            while (true) {
+              skip_ws(c);
+              if (c.eof() || *c.p != '"') return false;
+              Cursor pprobe = c;
+              if (match_key(c, "ptList")) {
+                if (!parse_ptlist(c, base, o)) return false;
+              } else {
+                c = pprobe;
+                if (!v_string(c)) return false;
+                skip_ws(c);
+                if (c.eof() || *c.p != ':') return false;
+                ++c.p;
+                if (!v_value(c, 2)) return false;
+              }
+              skip_ws(c);
+              if (c.eof()) return false;
+              if (*c.p == ',') { ++c.p; continue; }
+              if (*c.p == '}') { ++c.p; break; }
+              return false;
+            }
+          }
+          o.poly_e = (int32_t)(c.p - base);
+        } else {
+          if (!v_value(c, 1)) return false;
+          o.poly_e = (int32_t)(c.p - base);
+        }
+      } else {
+        c = probe;
+        if (!v_string(c)) return false;
+        skip_ws(c);
+        if (c.eof() || *c.p != ':') return false;
+        ++c.p;
+        if (!v_value(c, 1)) return false;
+      }
+    }
+    skip_ws(c);
+    if (c.eof()) return false;
+    if (*c.p == ',') { ++c.p; continue; }
+    if (*c.p == '}') {
+      ++c.p;
+      o.obj_e = (int32_t)(c.p - base);
+      return true;
+    }
+    return false;
+  }
+}
+
+// Full strict scan of one row.
+void scan_row(const char* json, RowOut& row, std::vector<ObjOut>& objs) {
+  objs.clear();
+  row = RowOut{};
+  if (json == nullptr) { row.status = ROW_NULL; return; }
+  Cursor c{json, json + strlen(json)};
+  skip_ws(c);
+  if (c.eof()) { row.status = ROW_INVALID; return; }  // json.loads("") raises
+  const char* base = json;
+  if (*c.p != '{') {
+    Cursor c2 = c;
+    if (v_value(c2, 0)) {
+      skip_ws(c2);
+      row.status = c2.eof() ? ROW_NON_OBJECT : ROW_INVALID;
+    } else {
+      row.status = ROW_INVALID;
+    }
+    return;
+  }
+  ++c.p;
+  skip_ws(c);
+  bool ok = true;
+  if (!c.eof() && *c.p == '}') { ++c.p; }
+  else while (true) {
+    skip_ws(c);
+    if (c.eof() || *c.p != '"') { ok = false; break; }
+    Cursor probe = c;
+    if (match_key(c, "width")) {
+      skip_ws(c);
+      double v;
+      Cursor vprobe = c;
+      if (!c.eof() && v_number(c, &v)) row.w = v;
+      else { c = vprobe; row.w = std::nan(""); if (!v_value(c, 1)) { ok = false; break; } }
+    } else {
+      c = probe;
+      if (match_key(c, "height")) {
+        skip_ws(c);
+        double v;
+        Cursor vprobe = c;
+        if (!c.eof() && v_number(c, &v)) row.h = v;
+        else { c = vprobe; row.h = std::nan(""); if (!v_value(c, 1)) { ok = false; break; } }
+      } else {
+        c = probe;
+        if (match_key(c, "objects")) {
+          skip_ws(c);
+          if (c.eof()) { ok = false; break; }
+          if (*c.p != '[') {
+            // duplicate key: json.loads keeps the LAST occurrence
+            objs.clear();
+            row.row_flags = 0;
+            row.objects_kind = 2;
+            row.objects_s = row.objects_e = -1;
+            if (!v_value(c, 1)) { ok = false; break; }
+          } else {
+            objs.clear();
+            row.row_flags = 0;
+            row.objects_kind = 1;
+            row.objects_s = (int32_t)(c.p - base);
+            ++c.p;
+            skip_ws(c);
+            if (!c.eof() && *c.p == ']') {
+              ++c.p;
+              row.objects_e = (int32_t)(c.p - base);
+            } else {
+              while (true) {
+                skip_ws(c);
+                if (c.eof()) { ok = false; break; }
+                if (*c.p == '{') {
+                  ObjOut o;
+                  if (!parse_object(c, base, o)) { ok = false; break; }
+                  objs.push_back(o);
+                } else {
+                  row.row_flags |= RF_NONDICT_OBJECTS;
+                  if (!v_value(c, 1)) { ok = false; break; }
+                }
+                skip_ws(c);
+                if (c.eof()) { ok = false; break; }
+                if (*c.p == ',') { ++c.p; continue; }
+                if (*c.p == ']') {
+                  ++c.p;
+                  row.objects_e = (int32_t)(c.p - base);
+                  break;
+                }
+                ok = false;
+                break;
+              }
+              if (!ok) break;
+            }
+          }
+        } else {
+          c = probe;
+          if (!v_string(c)) { ok = false; break; }
+          skip_ws(c);
+          if (c.eof() || *c.p != ':') { ok = false; break; }
+          ++c.p;
+          if (!v_value(c, 1)) { ok = false; break; }
+        }
+      }
+    }
+    skip_ws(c);
+    if (c.eof()) { ok = false; break; }
+    if (*c.p == ',') { ++c.p; continue; }
+    if (*c.p == '}') { ++c.p; break; }
+    ok = false;
+    break;
+  }
+  if (ok) {
+    skip_ws(c);
+    ok = c.eof();  // "extra data" also fails json.loads
+  }
+  if (!ok) {
+    objs.clear();
+    row = RowOut{};
+    row.status = ROW_INVALID;
+    return;
+  }
+  row.status = ROW_OK;
+}
+
+}  // namespace ann
+
 }  // namespace
+
+extern "C" {
+
+// Pass 1: per-row dict-object count and total unescaped name bytes.
+void count_ann(const char** rows, int64_t n_rows, int32_t* out_nobj,
+               int64_t* out_name_bytes, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t start, int64_t end) {
+    ann::RowOut row;
+    std::vector<ann::ObjOut> objs;
+    for (int64_t i = start; i < end; ++i) {
+      ann::scan_row(rows[i], row, objs);
+      out_nobj[i] = (int32_t)objs.size();
+      int64_t nb = 0;
+      for (const auto& o : objs) nb += o.name_len;
+      out_name_bytes[i] = nb;
+    }
+  };
+  if (n_threads == 1 || n_rows < 1024) { work(0, n_rows); return; }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t s = t * chunk, e = std::min<int64_t>(s + chunk, n_rows);
+    if (s >= e) break;
+    threads.emplace_back(work, s, e);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Pass 2: fill the annotation table at offsets computed from pass 1.
+// row_i32: (n,6) = status, objects_kind, row_flags, objects_s, objects_e, 0
+// obj_i32: (m,12) = obj_s,obj_e,name_s,name_e,ptlist_s,ptlist_e,poly_s,poly_e,
+//                   npts,flags,name_len,0
+void scan_ann(const char** rows, int64_t n_rows, const int64_t* obj_off,
+              const int64_t* name_off, int32_t* row_i32, double* row_wh,
+              int32_t* obj_i32, double* obj_box, int64_t* name_pos,
+              char* arena, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t start, int64_t end) {
+    ann::RowOut row;
+    std::vector<ann::ObjOut> objs;
+    for (int64_t i = start; i < end; ++i) {
+      ann::scan_row(rows[i], row, objs);
+      int32_t* r = row_i32 + i * 6;
+      r[0] = row.status;
+      r[1] = row.objects_kind;
+      r[2] = row.row_flags;
+      r[3] = row.objects_s;
+      r[4] = row.objects_e;
+      r[5] = 0;
+      row_wh[i * 2] = row.w;
+      row_wh[i * 2 + 1] = row.h;
+      int64_t ob = obj_off[i];
+      int64_t arena_pos = name_off[i];
+      // Defensive: never overflow the buffers sized by pass 1 (identical
+      // input should give identical counts, but a mutated rows list between
+      // passes must not corrupt memory).
+      int64_t max_objs = obj_off[i + 1] - ob;
+      int64_t arena_cap = name_off[i + 1];
+      int64_t n = std::min<int64_t>((int64_t)objs.size(), max_objs);
+      for (int64_t j = 0; j < n; ++j) {
+        const ann::ObjOut& o = objs[j];
+        int32_t* q = obj_i32 + (ob + j) * 12;
+        q[0] = o.obj_s; q[1] = o.obj_e;
+        q[2] = o.name_s; q[3] = o.name_e;
+        q[4] = o.ptlist_s; q[5] = o.ptlist_e;
+        q[6] = o.poly_s; q[7] = o.poly_e;
+        q[8] = o.npts; q[9] = o.flags; q[10] = o.name_len; q[11] = 0;
+        double* b = obj_box + (ob + j) * 4;
+        b[0] = o.box[0]; b[1] = o.box[1]; b[2] = o.box[2]; b[3] = o.box[3];
+        int64_t len = o.name_len;
+        if (arena_pos + len > arena_cap) len = 0;
+        if (len > 0 && o.name_tok_s != nullptr) {
+          if (o.name_is_escaped_string) {
+            ann::json_unescape(o.name_tok_s, o.name_tok_e - o.name_tok_s,
+                               arena + arena_pos);
+          } else {
+            memcpy(arena + arena_pos, o.name_tok_s, len);
+          }
+        }
+        name_pos[(ob + j) * 2] = arena_pos;
+        name_pos[(ob + j) * 2 + 1] = arena_pos + len;
+        arena_pos += len;
+      }
+    }
+  };
+  if (n_threads == 1 || n_rows < 1024) { work(0, n_rows); return; }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t s = t * chunk, e = std::min<int64_t>(s + chunk, n_rows);
+    if (s >= e) break;
+    threads.emplace_back(work, s, e);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
 
 extern "C" {
 
