@@ -17,41 +17,55 @@ from pathlib import Path
 LOG_DONE = object()
 
 
-class StreamQueueWriter:
-    """Line-buffered stdout/stderr -> queue adapter for live log streaming."""
+class StreamQueueWriter(io.TextIOBase):
+    """Text sink that forwards complete lines to a ``queue.Queue``.
+
+    Partial writes accumulate as fragments until a line terminator arrives
+    (splitlines-based, so ``\\r`` progress updates also flush as lines).
+    """
 
     def __init__(self, log_queue: "queue.Queue[str]"):
+        super().__init__()
         self.log_queue = log_queue
-        self._buffer = ""
+        self._fragments: list = []
 
-    def write(self, data):
+    def writable(self) -> bool:
+        return True
+
+    def write(self, data) -> int:
         if not data:
-            return
-        self._buffer += data
-        while "\n" in self._buffer:
-            line, self._buffer = self._buffer.split("\n", 1)
-            self.log_queue.put(line)
+            return 0
+        text = str(data)
+        for piece in text.splitlines(keepends=True):
+            self._fragments.append(piece.rstrip("\r\n"))
+            if piece != self._fragments[-1]:  # had a terminator
+                self._drain()
+        return len(text)
+
+    def _drain(self):
+        self.log_queue.put("".join(self._fragments))
+        self._fragments.clear()
 
     def flush(self):
-        if self._buffer:
-            self.log_queue.put(self._buffer)
-            self._buffer = ""
+        if self._fragments:
+            self._drain()
 
     def close(self):
-        # logging handlers may close their stream at interpreter shutdown
+        # logging handlers may close their stream at interpreter shutdown;
+        # stay writable afterwards instead of marking the stream closed
         self.flush()
 
-    def isatty(self):
+    def isatty(self) -> bool:
         return False
 
 
+_EPOCH_RE = re.compile(r"[Ee]poch\s*(\d+)\s*/\s*(\d+)")
+
+
 def _extract_epoch_info(line: str):
-    if not line:
-        return None
-    match = re.search(r"[Ee]poch\s*(\d+)\s*/\s*(\d+)", line)
-    if match:
-        return int(match.group(1)), int(match.group(2))
-    return None
+    """(current, total) parsed from an 'Epoch i/N' log line, else None."""
+    m = _EPOCH_RE.search(line) if line else None
+    return (int(m[1]), int(m[2])) if m else None
 
 
 def check_train_dependencies():

@@ -12,28 +12,46 @@ from __future__ import annotations
 import concurrent.futures as cf
 import os
 import threading
+import time
 from pathlib import Path
 from typing import Dict, Iterable, Optional
 
 import requests
 
 
-def download_image(url: str, save_path: str, timeout: int = 15) -> bool:
+def download_image(
+    url: str,
+    save_path: str,
+    timeout: int = 15,
+    retries: int = 3,
+    backoff: float = 0.5,
+) -> bool:
+    """Download with up to ``retries`` attempts and exponential backoff.
+
+    The reference performs a single attempt (core/utils.py:44-55); with the
+    concurrent prefetcher a transient failure would otherwise silently burn a
+    whole split's rows into the skipped audit.
+    """
     if Path(save_path).exists():
         return True
-    try:
-        response = requests.get(url, stream=True, timeout=timeout)
-        response.raise_for_status()
-        # temp-file + atomic rename: concurrent downloaders that collide on a
-        # basename can never leave a torn/partial file behind
-        tmp = f"{save_path}.tmp-{os.getpid()}-{threading.get_ident()}"
-        with open(tmp, "wb") as f:
-            f.write(response.content)
-        os.replace(tmp, save_path)
-        return True
-    except Exception as e:
-        print(f"\n❌ 图片下载失败 {url}：{e}")
-        return False
+    last_err = None
+    for attempt in range(max(1, retries)):
+        if attempt:
+            time.sleep(backoff * (2 ** (attempt - 1)))
+        try:
+            response = requests.get(url, stream=True, timeout=timeout)
+            response.raise_for_status()
+            # temp-file + atomic rename: concurrent downloaders that collide
+            # on a basename can never leave a torn/partial file behind
+            tmp = f"{save_path}.tmp-{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "wb") as f:
+                f.write(response.content)
+            os.replace(tmp, save_path)
+            return True
+        except Exception as e:
+            last_err = e
+    print(f"\n❌ 图片下载失败 {url}：{last_err}")
+    return False
 
 
 def cache_path_for(source_url: str, cache_dir: Path) -> Optional[Path]:

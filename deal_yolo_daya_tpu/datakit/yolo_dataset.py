@@ -217,10 +217,16 @@ def generate_yolo_datasets_from_excels(
                 width_col, height_col, class_to_id,
             )
             if download_images:
-                prefetch_images(
+                fetched = prefetch_images(
                     [p.source for p in plans if p.source],
                     cache_dir, max_workers=prefetch_workers,
                 )
+                n_fail = sum(1 for v in fetched.values() if v is None)
+                if n_fail:
+                    print(
+                        f"警告：{category_name}/{split} 预取失败 "
+                        f"{n_fail}/{len(fetched)} 张图片"
+                    )
 
             # ---- execute (IO only) ------------------------------------------
             images_dir = dataset_dir / "images" / split
