@@ -10,11 +10,49 @@ tensor-parallel sharding of wide scales (SURVEY §2.3).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
 import jax
 from jax.sharding import Mesh
+
+_distributed_initialized = False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bring-up: wire this process into a jax.distributed cluster
+    so jax.devices() sees every host's chips (the NCCL-init analog of the
+    reference's multi-GPU path; SURVEY §2.3/§5.8). Parameters fall back to
+    DYD_COORDINATOR / DYD_NUM_PROCESSES / DYD_PROCESS_ID env vars; on TPU
+    pods jax.distributed can discover all three itself. No-op (returns False)
+    when neither arguments nor env are present — single-host stays zero-cost.
+    Idempotent per process."""
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    coordinator_address = coordinator_address or os.environ.get("DYD_COORDINATOR")
+    env_np = os.environ.get("DYD_NUM_PROCESSES")
+    env_pid = os.environ.get("DYD_PROCESS_ID")
+    num_processes = num_processes if num_processes is not None else (
+        int(env_np) if env_np else None
+    )
+    process_id = process_id if process_id is not None else (
+        int(env_pid) if env_pid else None
+    )
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _distributed_initialized = True
+    return True
 
 
 def device_summary() -> Dict:
@@ -57,11 +95,64 @@ def create_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def create_hybrid_mesh(
+    n_dcn: int,
+    n_data: int,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Multi-host mesh: an outer data factor of ``n_dcn`` spans hosts over
+    DCN, ``n_data`` x ``n_model`` lives on each host's ICI. Both data factors
+    fold into one ``data`` axis, laid out so gradient all-reduce does its
+    large per-host stage over ICI and only the n_dcn-way stage over DCN
+    (jax mesh_utils hybrid ordering).
+
+    Falls back to a plain reshape when every device lives in this process
+    (the CPU-mesh test substrate), where DCN locality is meaningless.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    total = n_dcn * n_data * n_model
+    if total != len(devices):
+        raise ValueError(
+            f"mesh {n_dcn}x{n_data}x{n_model}@dcn does not match "
+            f"{len(devices)} devices"
+        )
+    n_proc = len({d.process_index for d in devices})
+    if n_proc > 1:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(n_data, n_model),
+            dcn_mesh_shape=(n_dcn, 1),
+            devices=devices,
+        )  # (n_dcn * n_data, n_model)
+    else:
+        arr = np.asarray(devices).reshape(n_dcn * n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
 def mesh_from_spec(spec: Optional[str] = None) -> Mesh:
-    """Parse a 'data[xmodel]' spec string, e.g. '8', '4x2'; None -> all-DP."""
+    """Parse a mesh spec string; None -> all devices on the data axis.
+
+    Grammar:
+    - ``"8"``          data=8
+    - ``"4x2"``        data=4, model=2
+    - ``"2x4@dcn"``    2 hosts over DCN x 4 data per host (data axis = 8)
+    - ``"2x4x2@dcn"``  2 hosts x (4 data x 2 model) per host
+    """
     if not spec:
         return create_mesh()
-    parts = str(spec).lower().replace(" ", "").split("x")
+    text = str(spec).lower().replace(" ", "")
+    hybrid = text.endswith("@dcn")
+    if hybrid:
+        text = text[: -len("@dcn")]
+    parts = [int(p) for p in text.split("x")]
+    if hybrid:
+        if len(parts) == 2:
+            return create_hybrid_mesh(parts[0], parts[1])
+        if len(parts) == 3:
+            return create_hybrid_mesh(parts[0], parts[1], parts[2])
+        raise ValueError(f"bad @dcn mesh spec: {spec!r}")
     if len(parts) == 1:
-        return create_mesh(int(parts[0]))
-    return create_mesh(int(parts[0]), int(parts[1]))
+        return create_mesh(parts[0])
+    return create_mesh(parts[0], parts[1])

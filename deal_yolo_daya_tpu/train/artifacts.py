@@ -114,47 +114,79 @@ class RunDir:
             plt.close(fig)
 
     def plot_pr_curves(self, metrics_result: Dict, names: Sequence[str]):
-        """PR_curve.png + F1_curve.png from per-class AP data."""
+        """PR/F1/P/R curve PNGs in the layout ultralytics emits: per-class
+        thin lines + a bold all-classes mean, consumed by the 5-tab viewer
+        (reference: ui/components.py:283-287)."""
+        curves = metrics_result.get("curves")
+        if not curves or curves["py"].size == 0:
+            return
+        px = curves["px"]
+        cls_names = [
+            names[c] if 0 <= c < len(names) else str(c) for c in curves["classes"]
+        ]
+        aps = metrics_result.get("per_class_ap")
+        pr_labels = [
+            f"{n} {aps[c, 0]:.3f}" if aps is not None else n
+            for n, c in zip(cls_names, curves["classes"])
+        ]
+        self._curve_plot(
+            px, curves["py"], pr_labels, "Recall", "Precision", "PR_curve.png",
+            mean_label=f"all classes {metrics_result.get('map50', 0):.3f} mAP@0.5",
+        )
+        for key, ylabel, fname in (
+            ("f1", "F1", "F1_curve.png"),
+            ("p", "Precision", "P_curve.png"),
+            ("r", "Recall", "R_curve.png"),
+        ):
+            y = curves[key]
+            mean = y.mean(0)
+            i = int(mean.argmax())
+            self._curve_plot(
+                px, y, cls_names, "Confidence", ylabel, fname,
+                mean_label=f"all classes {mean[i]:.2f} at {px[i]:.3f}",
+            )
+
+    def _curve_plot(self, x, ys, labels, xlabel, ylabel, fname, mean_label):
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        aps = metrics_result.get("per_class_ap")
-        fig, ax = plt.subplots(figsize=(8, 6))
-        if aps is not None:
-            for c, name in enumerate(names):
-                ax.bar(c, aps[c, 0], label=None)
-            ax.set_xticks(range(len(names)))
-            ax.set_xticklabels(names, rotation=90, fontsize=7)
-        ax.set_ylabel("AP@0.5")
-        ax.set_title(f"mAP50 {metrics_result.get('map50', 0):.3f}")
-        fig.tight_layout()
-        fig.savefig(self.path / "PR_curve.png", dpi=120)
-        plt.close(fig)
-
-        fig, ax = plt.subplots(figsize=(8, 6))
-        p, r = metrics_result.get("precision", 0), metrics_result.get("recall", 0)
-        f1 = 2 * p * r / (p + r + 1e-16)
-        ax.bar(["precision", "recall", "F1"], [p, r, f1])
-        ax.set_title(f"F1 {f1:.3f}")
-        fig.tight_layout()
-        fig.savefig(self.path / "F1_curve.png", dpi=120)
+        fig, ax = plt.subplots(figsize=(9, 6), tight_layout=True)
+        if len(ys) <= 20:
+            for y, label in zip(ys, labels):
+                ax.plot(x, y, linewidth=1, label=label)
+        else:
+            for y in ys:
+                ax.plot(x, y, linewidth=1, color="grey", alpha=0.4)
+        ax.plot(x, ys.mean(0), linewidth=3, color="blue", label=mean_label)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1)
+        ax.set_title(f"{ylabel}-{xlabel} Curve")
+        ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left", fontsize=7)
+        fig.savefig(self.path / fname, dpi=120, bbox_inches="tight")
         plt.close(fig)
 
     def save_val_batch_predictions(
         self,
         images: np.ndarray,          # (B, S, S, 3) 0-255
         boxes: np.ndarray,           # (B, max_det, 4)
-        scores: np.ndarray,
+        scores: Optional[np.ndarray],  # None => ground-truth "labels" mosaic
         classes: np.ndarray,
         num_det: np.ndarray,
         names: Sequence[str],
         batch_idx: int = 0,
         max_images: int = 9,
     ):
+        """val_batch{N}_pred.jpg (red boxes + conf) or, with scores=None,
+        val_batch{N}_labels.jpg (green GT boxes) — the gallery pair an
+        ultralytics run dir carries per val batch."""
         from PIL import Image, ImageDraw
 
+        is_pred = scores is not None
+        color = (255, 64, 64) if is_pred else (64, 200, 64)
         b = min(len(images), max_images)
         tile = int(np.ceil(np.sqrt(b)))
         s = images.shape[1]
@@ -166,11 +198,13 @@ class RunDir:
                 x1, y1, x2, y2 = boxes[i, d]
                 cls_id = int(classes[i, d])
                 label = names[cls_id] if 0 <= cls_id < len(names) else str(cls_id)
-                draw.rectangle([x1, y1, x2, y2], outline=(255, 64, 64), width=2)
-                draw.text((x1 + 2, max(y1 - 12, 0)), f"{label} {scores[i, d]:.2f}",
-                          fill=(255, 255, 0))
+                if is_pred:
+                    label = f"{label} {scores[i, d]:.2f}"
+                draw.rectangle([x1, y1, x2, y2], outline=color, width=2)
+                draw.text((x1 + 2, max(y1 - 12, 0)), label, fill=(255, 255, 0))
             canvas.paste(img, ((i % tile) * s, (i // tile) * s))
-        canvas.save(self.path / f"val_batch{batch_idx}_pred.jpg", quality=88)
+        suffix = "pred" if is_pred else "labels"
+        canvas.save(self.path / f"val_batch{batch_idx}_{suffix}.jpg", quality=88)
 
 
 def _fmt(v) -> str:

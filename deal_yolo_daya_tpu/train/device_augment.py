@@ -29,8 +29,11 @@ FILL = 114.0
 
 class DeviceAugConfig(NamedTuple):
     mosaic: float = 1.0
+    mixup: float = 0.0
     scale: float = 0.5
     translate: float = 0.1
+    degrees: float = 0.0
+    shear: float = 0.0
     hsv_h: float = 0.015
     hsv_s: float = 0.7
     hsv_v: float = 0.4
@@ -118,11 +121,22 @@ def _mosaic_one(
     boxes4: jnp.ndarray,    # (4, M, 4) xyxy in buffer coords
     mask4: jnp.ndarray,     # (4, M)
     classes4: jnp.ndarray,  # (4, M)
-    u: jnp.ndarray,         # (8,) uniforms: yc, xc, scale, tx, ty, ...
+    u: jnp.ndarray,         # (10,) uniforms, see slot map below
     imgsz: int,
     cfg: DeviceAugConfig,
 ):
+    """One augmented sample. Per-sample uniforms (slot map):
+    0 yc, 1 xc (mosaic center), 2 scale, 3 tx, 4 ty, 5 mosaic gate,
+    6 rotation angle, 7/8 shear x/y.
+
+    With u[5] >= cfg.mosaic the sample takes the single-image path (host
+    parity: data.py _load_one letterboxes then affines, train/data.py:220):
+    the primary source is letterbox-centered on the canvas and partners are
+    pushed off-canvas so their pixels read invalid and their boxes collapse
+    under the [0, s] clip.
+    """
     s = imgsz
+    use_mosaic = u[5] < cfg.mosaic
     yc = s // 2 + u[0] * s  # in [s/2, 3s/2)
     xc = s // 2 + u[1] * s
     # quadrant placement offsets (canvas coords of each source's origin):
@@ -130,25 +144,44 @@ def _mosaic_one(
     # q2 BL: top-right at (xc, yc); q3 BR: top-left at (xc, yc).
     hs = src_hw[:, 0]
     ws = src_hw[:, 1]
-    origin_x = jnp.stack([xc - ws[0], xc, xc - ws[2], xc])
-    origin_y = jnp.stack([yc - hs[0], yc - hs[1], yc, yc])
+    cxc, cyc = float(s), float(s)  # canvas center of 2S x 2S
+    off = jnp.float32(4.0 * s)     # off-canvas parking for unused partners
+    m_ox = jnp.stack([xc - ws[0], xc, xc - ws[2], xc])
+    m_oy = jnp.stack([yc - hs[0], yc - hs[1], yc, yc])
+    s_ox = jnp.stack([cxc - ws[0] / 2, off, off, off])
+    s_oy = jnp.stack([cyc - hs[0] / 2, off, off, off])
+    origin_x = jnp.where(use_mosaic, m_ox, s_ox)
+    origin_y = jnp.where(use_mosaic, m_oy, s_oy)
 
-    # random affine canvas -> output (centered scale + translate)
+    # random affine canvas -> output: translate @ shear @ rotate-scale,
+    # centered on the canvas center (host parity: augment.py random_affine)
     sc = 1.0 + cfg.scale * (2.0 * u[2] - 1.0)
     tx = (0.5 + cfg.translate * (2.0 * u[3] - 1.0)) * s
     ty = (0.5 + cfg.translate * (2.0 * u[4] - 1.0)) * s
-    # forward: out = (canvas - center) * sc + t ; inverse:
-    cxc, cyc = s, s  # canvas center of 2S x 2S
+    deg2rad = jnp.pi / 180.0
+    ang = cfg.degrees * (2.0 * u[6] - 1.0) * deg2rad
+    alpha, beta = sc * jnp.cos(ang), sc * jnp.sin(ang)
+    sh_x = jnp.tan(cfg.shear * (2.0 * u[7] - 1.0) * deg2rad)
+    sh_y = jnp.tan(cfg.shear * (2.0 * u[8] - 1.0) * deg2rad)
+    # F = SH @ R (2x2 linear part of the forward map)
+    f00 = alpha + sh_x * -beta
+    f01 = beta + sh_x * alpha
+    f10 = sh_y * alpha - beta
+    f11 = sh_y * beta + alpha
+    det = f00 * f11 - f01 * f10
+    i00, i01, i10, i11 = f11 / det, -f01 / det, -f10 / det, f00 / det
+
     ys = jnp.arange(s, dtype=jnp.float32)
     xs = jnp.arange(s, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    canvas_x = (gx - tx) / sc + cxc
-    canvas_y = (gy - ty) / sc + cyc
+    dx, dy = gx - tx, gy - ty
+    canvas_x = i00 * dx + i01 * dy + cxc
+    canvas_y = i10 * dx + i11 * dy + cyc
 
-    # quadrant of each canvas coordinate
+    # quadrant of each canvas coordinate (single path always reads source 0)
     qx = (canvas_x >= xc).astype(jnp.int32)
     qy = (canvas_y >= yc).astype(jnp.int32)
-    quad = qy * 2 + qx  # 0 TL, 1 TR, 2 BL, 3 BR
+    quad = jnp.where(use_mosaic, qy * 2 + qx, 0)  # 0 TL, 1 TR, 2 BL, 3 BR
 
     # per-quadrant source coords
     src_x4 = canvas_x[None] - origin_x[:, None, None]
@@ -163,24 +196,32 @@ def _mosaic_one(
     pick_valid = jnp.einsum("qhw,hwq->hw", valid4.astype(jnp.float32), onehot) > 0.5
     out = jnp.where(pick_valid[..., None], pick, FILL)
 
-    # boxes: buffer coords -> canvas -> affine -> output
+    # boxes: buffer coords -> canvas (clipped like the host mosaic canvas) ->
+    # 4-corner affine (AABB of the transformed corners, exact under rotation)
     b_can = boxes4 + jnp.stack(
         [origin_x, origin_y, origin_x, origin_y], axis=-1
     )[:, None, :]
-    b_out_xy1 = (b_can[..., :2] - jnp.array([cxc, cyc])) * sc + jnp.array([tx, ty])
-    b_out_xy2 = (b_can[..., 2:4] - jnp.array([cxc, cyc])) * sc + jnp.array([tx, ty])
-    b_out = jnp.concatenate([b_out_xy1, b_out_xy2], axis=-1).reshape(-1, 4)
+    b_can = jnp.clip(b_can.reshape(-1, 4), 0, 2 * s)
+    x1, y1, x2, y2 = b_can[:, 0], b_can[:, 1], b_can[:, 2], b_can[:, 3]
+    cx = jnp.stack([x1, x2, x2, x1], -1) - cxc  # (4M, 4 corners)
+    cy = jnp.stack([y1, y1, y2, y2], -1) - cyc
+    ox = f00 * cx + f01 * cy + tx
+    oy = f10 * cx + f11 * cy + ty
+    b_out = jnp.stack([ox.min(-1), oy.min(-1), ox.max(-1), oy.max(-1)], -1)
     classes = classes4.reshape(-1)
     mask = mask4.reshape(-1)
 
-    clipped = jnp.stack([
-        jnp.clip(b_out[:, 0], 0, s), jnp.clip(b_out[:, 1], 0, s),
-        jnp.clip(b_out[:, 2], 0, s), jnp.clip(b_out[:, 3], 0, s),
-    ], axis=-1)
+    clipped = jnp.clip(b_out, 0, s)
     bw = clipped[:, 2] - clipped[:, 0]
     bh = clipped[:, 3] - clipped[:, 1]
-    area0 = (b_out[:, 2] - b_out[:, 0]) * (b_out[:, 3] - b_out[:, 1])
-    keep = mask & (bw > 2) & (bh > 2) & (bw * bh / (jnp.abs(area0) + 1e-9) > 0.1)
+    # host filter parity (augment.py random_affine): min 2px sides, >=10% of
+    # the pre-affine area * sc^2 survives the clip, aspect < 100
+    area0 = (x2 - x1) * (y2 - y1) * sc * sc
+    aspect = jnp.maximum(bw / (bh + 1e-16), bh / (bw + 1e-16))
+    keep = (
+        mask & (bw > 2) & (bh > 2)
+        & (bw * bh / (jnp.abs(area0) + 1e-9) > 0.1) & (aspect < 100)
+    )
     return out, clipped, classes, keep
 
 
@@ -214,14 +255,14 @@ def augment_batch(
     Returns (images (B,S,S,3) uint8, boxes (B,max_boxes,4), classes, mask).
     """
     b = images.shape[0]
-    k_idx, k_u, k_hsv, k_flip = jax.random.split(key, 4)
+    k_idx, k_u, k_hsv, k_flip, k_mix = jax.random.split(key, 5)
     images_f = images.astype(jnp.float32)
 
     # choose 3 mosaic partners per sample
     partners = jax.random.randint(k_idx, (b, 3), 0, b)
     idx4 = jnp.concatenate([jnp.arange(b)[:, None], partners], axis=1)  # (B, 4)
 
-    uniforms = jax.random.uniform(k_u, (b, 8))
+    uniforms = jax.random.uniform(k_u, (b, 10))
 
     def one(idx4_i, u_i):
         return _mosaic_one(
@@ -230,6 +271,21 @@ def augment_batch(
         )
 
     out_imgs, out_boxes, out_cls, out_keep = jax.vmap(one)(idx4, uniforms)
+
+    # mixup: Beta(32, 32) blend with another already-augmented sample in the
+    # batch, labels unioned (host parity: augment.py mixup + data.py:225-230;
+    # runs before HSV/flips like the host order). Static gate — cfg is a jit
+    # static arg, so mixup=0 costs nothing.
+    if cfg.mixup > 0:
+        k_lam, k_gate, k_perm = jax.random.split(k_mix, 3)
+        j = jax.random.randint(k_perm, (b,), 0, b)
+        lam = jax.random.beta(k_lam, 32.0, 32.0, (b,))
+        do = jax.random.uniform(k_gate, (b,)) < cfg.mixup
+        lam = jnp.where(do, lam, 1.0)[:, None, None, None]
+        out_imgs = lam * out_imgs + (1.0 - lam) * out_imgs[j]
+        out_boxes = jnp.concatenate([out_boxes, out_boxes[j]], axis=1)
+        out_cls = jnp.concatenate([out_cls, out_cls[j]], axis=1)
+        out_keep = jnp.concatenate([out_keep, out_keep[j] & do[:, None]], axis=1)
 
     # HSV jitter (per-sample gains)
     gains = 1.0 + jax.random.uniform(k_hsv, (b, 3), minval=-1.0, maxval=1.0) * jnp.array(

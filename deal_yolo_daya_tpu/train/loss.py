@@ -68,10 +68,13 @@ def task_aligned_assign(
     # ranking-only (inside stop_gradient), so compute them in bf16 — the same
     # precision the reference engine's AMP autocast gives its assigner.
     mdt = jnp.bfloat16
-    gt_label_scores = jnp.take_along_axis(
-        pd_scores.astype(mdt).transpose(0, 2, 1),    # (B, nc, A)
-        jnp.clip(gt_labels, 0, nc - 1)[:, :, None],  # (B, N, 1)
-        axis=1,
+    # one-hot matmul instead of a gather: rides the MXU and avoids the
+    # TPU-hostile dynamic-index path (same trick as _dfl_loss)
+    gt_label_onehot = jax.nn.one_hot(
+        jnp.clip(gt_labels, 0, nc - 1), nc, dtype=mdt
+    )  # (B, N, nc)
+    gt_label_scores = jnp.einsum(
+        "bnc,bac->bna", gt_label_onehot, pd_scores.astype(mdt)
     )  # (B, N, A)
     overlaps = jnp.clip(
         bbox_ciou(
@@ -108,18 +111,21 @@ def task_aligned_assign(
     target_gt_idx = jnp.where(is_multi, max_overlap_gt, single_gt)
     fg_mask = fg_counts > 0
 
-    # Rebuild a conflict-free positive mask
+    # Rebuild a conflict-free positive mask; the same one-hot drives every
+    # target gather below as an einsum over the small N axis (gathers with
+    # per-anchor indices are the slow path on TPU)
+    assign_onehot = jax.nn.one_hot(target_gt_idx, n, dtype=jnp.float32)  # (B, A, N)
     mask_pos = (
-        jax.nn.one_hot(target_gt_idx, n, dtype=jnp.float32).transpose(0, 2, 1)
-        * fg_mask[:, None, :]
+        assign_onehot.transpose(0, 2, 1) * fg_mask[:, None, :]
     ).astype(bool)  # (B, N, A)
 
-    # Gather targets
-    target_bboxes = jnp.take_along_axis(
-        gt_bboxes, target_gt_idx[:, :, None].repeat(4, -1), axis=1
-    )  # (B, A, 4)
-    target_labels = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # (B, A)
-    target_scores = jax.nn.one_hot(target_labels, nc, dtype=jnp.float32)
+    # Gather targets via the assignment one-hot
+    target_bboxes = jnp.einsum("ban,bnd->bad", assign_onehot, gt_bboxes)  # (B, A, 4)
+    target_scores = jnp.einsum(
+        "ban,bnc->bac",
+        assign_onehot,
+        jax.nn.one_hot(jnp.clip(gt_labels, 0, nc - 1), nc, dtype=jnp.float32),
+    )  # (B, A, nc)
     target_scores = target_scores * fg_mask[:, :, None]
 
     # Normalize: per-GT max align metric -> scale one-hot scores
@@ -143,15 +149,23 @@ def _bce_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 def _dfl_loss(pd_dist: jnp.ndarray, target_dist: jnp.ndarray) -> jnp.ndarray:
     """Distribution focal loss: CE against the two integer bins bracketing the
-    target, linearly weighted. pd_dist (..., 4, REG_MAX), target (..., 4)."""
-    tl = jnp.floor(target_dist).astype(jnp.int32)
-    tr = tl + 1
-    wl = tr.astype(jnp.float32) - target_dist
-    wr = 1.0 - wl
+    target, linearly weighted. pd_dist (..., 4, REG_MAX), target (..., 4).
+
+    Formulated as -sum(logp * two_hot(target)): per-element gathers along the
+    lane (minor) dimension are pathological on TPU — take_along_axis here
+    measured 37 ms/step of a 106 ms train step (b32@640); the two-hot
+    elementwise form fuses into the softmax and costs ~nothing.
+    """
+    tl = jnp.floor(target_dist)
+    wr = target_dist - tl
+    wl = 1.0 - wr
     logp = jax.nn.log_softmax(pd_dist.astype(jnp.float32), axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, REG_MAX - 1)[..., None], axis=-1)[..., 0]
-    return jnp.mean(ce_l * wl + ce_r * wr, axis=-1)  # mean over the 4 sides
+    bins = jnp.arange(REG_MAX, dtype=target_dist.dtype)
+    left = jnp.clip(tl, 0, REG_MAX - 1)[..., None]
+    right = jnp.clip(tl + 1, 0, REG_MAX - 1)[..., None]
+    two_hot = (bins == left) * wl[..., None] + (bins == right) * wr[..., None]
+    ce = -jnp.sum(logp * two_hot, axis=-1)
+    return jnp.mean(ce, axis=-1)  # mean over the 4 sides
 
 
 def detection_loss(

@@ -63,11 +63,17 @@ def match_predictions(
     return correct
 
 
-def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
-    """101-point interpolated AP (ultralytics 'interp' method)."""
+def _ap_envelope(recall: np.ndarray, precision: np.ndarray):
+    """Sentinel-padded recall axis + monotone precision envelope."""
     mrec = np.concatenate(([0.0], recall, [1.0]))
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+    return mrec, mpre
+
+
+def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
+    """101-point interpolated AP (ultralytics 'interp' method)."""
+    mrec, mpre = _ap_envelope(recall, precision)
     x = np.linspace(0, 1, 101)
     return float(np.trapezoid(np.interp(x, mrec, mpre), x))
 
@@ -110,11 +116,20 @@ class DetMetrics:
         aps = np.zeros((self.nc, len(IOU_THRESHOLDS)))
         p_at, r_at = [], []
         eps = 1e-16
-        for c in range(self.nc):
+        # Confidence-axis curves, one row per GT-present class (the layout the
+        # ultralytics PR/F1 plots use: precision interpolated onto a common
+        # 1000-point recall axis, p/r/f1 onto a common confidence axis).
+        px = np.linspace(0, 1, 1000)
+        present = [c for c in range(self.nc) if (gcls == c).sum() > 0]
+        n_present = len(present)
+        py = np.zeros((n_present, px.size))
+        p_conf = np.zeros((n_present, px.size))
+        r_conf = np.zeros((n_present, px.size))
+        for ci, c in enumerate(present):
             n_gt = int((gcls == c).sum())
             mask = pcls == c
             n_pred = int(mask.sum())
-            if n_pred == 0 or n_gt == 0:
+            if n_pred == 0:
                 continue
             tpc = tp[mask].cumsum(0)
             fpc = (~tp[mask]).cumsum(0)
@@ -122,13 +137,20 @@ class DetMetrics:
             precision = tpc / (tpc + fpc)
             for ti in range(len(IOU_THRESHOLDS)):
                 aps[c, ti] = compute_ap(recall[:, ti], precision[:, ti])
+            mrec, mpre = _ap_envelope(recall[:, 0], precision[:, 0])
+            py[ci] = np.interp(px, mrec, mpre)
+            # conf is descending within the class mask (global sort above), so
+            # negate both axes to hand np.interp an ascending x.
+            cconf = conf[mask]
+            p_conf[ci] = np.interp(-px, -cconf, precision[:, 0], left=1.0)
+            r_conf[ci] = np.interp(-px, -cconf, recall[:, 0], left=0.0)
             # P/R reported at max-F1 confidence for IoU .5
             f1 = 2 * precision[:, 0] * recall[:, 0] / (precision[:, 0] + recall[:, 0] + eps)
             i = int(f1.argmax())
             p_at.append(precision[i, 0])
             r_at.append(recall[i, 0])
 
-        present = [c for c in range(self.nc) if (gcls == c).sum() > 0]
+        f1_conf = 2 * p_conf * r_conf / (p_conf + r_conf + eps)
         map50 = float(aps[present, 0].mean()) if present else 0.0
         map5095 = float(aps[present].mean()) if present else 0.0
         return {
@@ -137,6 +159,11 @@ class DetMetrics:
             "map50": map50,
             "map": map5095,
             "per_class_ap": aps,
+            "curves": {
+                "px": px, "py": py,
+                "p": p_conf, "r": r_conf, "f1": f1_conf,
+                "classes": np.asarray(present, np.int64),
+            },
         }
 
 

@@ -18,6 +18,7 @@ core/training.py:63-64) with a from-scratch JAX/Flax training loop:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -31,7 +32,7 @@ import optax
 from ..models.yolo11 import YOLO11, YOLO11_SCALES
 from ..ops.decode import decode_predictions
 from ..ops.nms import batched_nms
-from ..parallel.mesh import create_mesh, mesh_from_spec
+from ..parallel.mesh import create_mesh, init_distributed, mesh_from_spec
 from ..parallel.sharding import batch_sharding, replicate_sharding
 from .artifacts import RunDir
 from .augment import AugmentConfig
@@ -82,6 +83,7 @@ class TrainConfig:
     scale: float = 0.5
     translate: float = 0.1
     degrees: float = 0.0
+    shear: float = 0.0
     conf: float = 0.001        # val confidence threshold
     iou: float = 0.7           # NMS IoU threshold
     max_det: int = 300
@@ -89,8 +91,9 @@ class TrainConfig:
     # compile donated step graphs pathologically slowly — default off
     donate: bool = False
     # run mosaic/affine/HSV/flip on the TPU (host does decode+resize only);
-    # the north-star input pipeline for hosts with few cores
-    device_augment: bool = False
+    # the north-star input pipeline for hosts with few cores. None = auto:
+    # on when the host has <= 2 CPU cores (augmentation would starve the chip)
+    device_augment: Optional[bool] = None
     # capture a jax.profiler trace of the first N steps of epoch 0 into
     # <run_dir>/profile (open with TensorBoard / xprof); 0 = off
     profile_steps: int = 0
@@ -147,6 +150,10 @@ class Trainer:
         self.nc = max(self.train_ds.nc, 1)
         self.names = self.train_ds.names or [str(i) for i in range(self.nc)]
 
+        # multi-host bring-up first (no-op unless DYD_COORDINATOR/... env is
+        # set): after it, jax.devices() spans all hosts and an @dcn mesh spec
+        # can fold the host dimension into the data axis
+        init_distributed()
         self.mesh = mesh if mesh is not None else mesh_from_spec(config.device or None)
         # On a single device, GSPMD-partitioned executables run ~17x slower
         # than plain jit on the axon backend (PERF.md); skip all sharding
@@ -159,11 +166,15 @@ class Trainer:
         self.dtype = jnp.bfloat16 if config.amp else jnp.float32
         self.model = YOLO11(nc=self.nc, scale=self.scale, dtype=self.dtype)
 
+        if config.device_augment is None:
+            config.device_augment = (os.cpu_count() or 1) <= 2
+
         aug = AugmentConfig(
             mosaic=config.mosaic, mixup=config.mixup,
             hsv_h=config.hsv_h, hsv_s=config.hsv_s,
             hsv_v=config.hsv_v, fliplr=config.fliplr, flipud=config.flipud,
             scale=config.scale, translate=config.translate, degrees=config.degrees,
+            shear=config.shear,
         )
         self.train_loader = DataLoader(
             self.train_ds, config.batch, config.imgsz, augment=True,
@@ -296,8 +307,9 @@ class Trainer:
         from .device_augment import DeviceAugConfig, augment_batch
 
         dev_aug_cfg = DeviceAugConfig(
-            mosaic=self.cfg.mosaic, scale=self.cfg.scale,
-            translate=self.cfg.translate, hsv_h=self.cfg.hsv_h,
+            mosaic=self.cfg.mosaic, mixup=self.cfg.mixup, scale=self.cfg.scale,
+            translate=self.cfg.translate, degrees=self.cfg.degrees,
+            shear=self.cfg.shear, hsv_h=self.cfg.hsv_h,
             hsv_s=self.cfg.hsv_s, hsv_v=self.cfg.hsv_v,
             fliplr=self.cfg.fliplr, flipud=self.cfg.flipud,
         )
@@ -305,12 +317,17 @@ class Trainer:
         # kept as a SEPARATE jit from the train step: fusing them into one
         # program sends the axon compiler into a tailspin (PERF.md); as two
         # dispatches each compiles in seconds and the extra HBM round-trip of
-        # one uint8 batch is negligible.
-        def device_augment_step(images, hw, gt_boxes, gt_classes, gt_mask, seed):
+        # one uint8 batch is negligible. mosaic_off is the close_mosaic hook
+        # (static arg: one recompile when the schedule flips mosaic off).
+        def device_augment_step(
+            images, hw, gt_boxes, gt_classes, gt_mask, seed, mosaic_off=False
+        ):
             key = jax.random.PRNGKey(seed)  # key built in-jit (no eager ops)
+            cfg_eff = dev_aug_cfg._replace(mosaic=0.0, mixup=0.0) if mosaic_off \
+                else dev_aug_cfg
             return augment_batch(
                 images, hw, gt_boxes, gt_classes, gt_mask, key, imgsz,
-                dev_aug_cfg, max_boxes=self.cfg.max_boxes,
+                cfg_eff, max_boxes=self.cfg.max_boxes,
             )
 
         aug_kwargs = {} if self.single_device else {
@@ -318,7 +335,9 @@ class Trainer:
             # outputs feed train_step's data-sharded inputs directly
             "out_shardings": (data_sh, data_sh, data_sh, data_sh),
         }
-        self.device_augment_step = jax.jit(device_augment_step, **aug_kwargs)
+        self.device_augment_step = jax.jit(
+            device_augment_step, static_argnames=("mosaic_off",), **aug_kwargs
+        )
 
         conf, iou_t, max_det = self.cfg.conf, self.cfg.iou, self.cfg.max_det
 
@@ -438,7 +457,7 @@ class Trainer:
             loss_acc = self.zero_loss_acc()
             n_steps = 0
             epoch_t0 = time.time()
-            use_device_aug = cfg.device_augment and not self.train_loader.mosaic_off
+            use_device_aug = cfg.device_augment
             if use_device_aug:
                 epoch_iter = Prefetcher(
                     self.train_loader.epoch_raw(epoch), depth=cfg.workers
@@ -460,7 +479,9 @@ class Trainer:
                         data_sh,
                     )
                     seed = np.uint32((cfg.seed << 20) + epoch * 16384 + n_steps)
-                    aug = self.device_augment_step(*args, seed)
+                    aug = self.device_augment_step(
+                        *args, seed, mosaic_off=self.train_loader.mosaic_off
+                    )
                     self.state, total, loss_acc = self.train_step(
                         self.state, loss_acc, *aug
                     )
@@ -550,7 +571,7 @@ class Trainer:
         val_losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
         n_steps = 0
         cm_preds, cm_gts = [], []
-        first_batch_saved = False
+        batches_saved = 0
 
         for batch in self.val_loader.epoch(0):
             gtb, gtc, gtm = bucket_gt(
@@ -585,11 +606,16 @@ class Trainer:
                 cm_preds.append((pred_boxes, pred_scores, pred_cls))
                 cm_gts.append((gt_b, gt_c))
 
-            if save_artifacts and not first_batch_saved:
+            if save_artifacts and batches_saved < 3:
                 self.run.save_val_batch_predictions(
-                    batch.images, ob, osc, ocl, nd, self.names
+                    batch.images, ob, osc, ocl, nd, self.names,
+                    batch_idx=batches_saved,
                 )
-                first_batch_saved = True
+                self.run.save_val_batch_predictions(
+                    batch.images, batch.gt_boxes, None, batch.gt_classes,
+                    batch.gt_mask.sum(-1), self.names, batch_idx=batches_saved,
+                )
+                batches_saved += 1
 
         for k in val_losses:
             val_losses[k] /= max(n_steps, 1)

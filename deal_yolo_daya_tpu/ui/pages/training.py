@@ -43,6 +43,81 @@ LOGS_DIR = PLATFORM_ROOT / "logs"
 MAX_LOG_LINES = 800
 
 
+# ------------------------------------------------- recent / favorite paths
+
+MAX_RECENT_PATHS = 10
+
+
+def remember_recent_path(path: str):
+    """Move `path` to the front of the session's recent-dataset list
+    (reference bookkeeping: training.py:46-53)."""
+    import streamlit as st
+
+    if not path:
+        return
+    recent = [p for p in st.session_state.get("train_recent_paths", []) if p != path]
+    st.session_state["train_recent_paths"] = [path, *recent][:MAX_RECENT_PATHS]
+
+
+def favorite_groups() -> dict:
+    """Session favorite store: {group_name: [paths]} with a default group
+    (reference: training.py:55-85)."""
+    import streamlit as st
+
+    return st.session_state.setdefault("train_fav_groups", {"默认": []})
+
+
+def toggle_favorite_path(path: str, group: str = "默认"):
+    import streamlit as st
+
+    groups = favorite_groups()
+    bucket = groups.setdefault(group, [])
+    if path in bucket:
+        bucket.remove(path)
+    elif path:
+        bucket.append(path)
+    st.session_state["train_fav_groups"] = groups
+
+
+def _render_path_bookmarks(current_path: str) -> str:
+    """Recent + favorite dataset-root pickers; returns a path if the user
+    picked one, else the input path unchanged."""
+    import streamlit as st
+
+    picked = current_path
+    recent = st.session_state.get("train_recent_paths", [])
+    groups = favorite_groups()
+    with st.expander("最近 / 收藏路径", expanded=False):
+        if recent:
+            r = st.selectbox("最近使用", ["(无)"] + recent, key="train_recent_pick")
+            if r != "(无)":
+                picked = r
+        c1, c2, c3 = st.columns([2, 1, 1])
+        with c1:
+            group = st.selectbox(
+                "收藏分组", list(groups) or ["默认"], key="train_fav_group"
+            )
+        with c2:
+            if st.button("收藏当前路径", use_container_width=True):
+                toggle_favorite_path(current_path, group)
+        with c3:
+            new_group = st.text_input("新建分组", key="train_fav_new_group")
+            if st.button("添加分组", use_container_width=True) and new_group:
+                groups.setdefault(new_group, [])
+                st.session_state["train_fav_groups"] = groups
+        favs = groups.get(group, [])
+        if favs:
+            f = st.selectbox("收藏夹", ["(无)"] + favs, key="train_fav_pick")
+            if f != "(无)":
+                picked = f
+            if st.button("移除所选收藏") and f != "(无)":
+                toggle_favorite_path(f, group)
+        elif st.button("删除此分组") and group != "默认":
+            groups.pop(group, None)
+            st.session_state["train_fav_groups"] = groups
+    return picked
+
+
 # ------------------------------------------------------------------ templates
 
 def _list_templates():
@@ -115,6 +190,9 @@ def render_training_platform():
     st.markdown("**数据集**")
     default_root = st.session_state.get("train_dataset_root", str(Path.cwd()))
     dataset_root = st.text_input("数据集根目录", value=default_root, key="train_dataset_root")
+    dataset_root = _render_path_bookmarks(dataset_root)
+    if Path(dataset_root).is_dir():
+        remember_recent_path(dataset_root)
     suggestions = get_path_suggestions(dataset_root)
     if suggestions and len(suggestions) > 1:
         picked = st.selectbox("路径建议", suggestions, key="train_root_suggest")
@@ -188,9 +266,35 @@ def render_training_platform():
     patience = c3.number_input("patience", 0, 1000, 100, key="train_patience")
     cos_lr = c4.checkbox("cos_lr", value=False, key="train_cos_lr")
 
-    c1, c2 = st.columns(2)
+    c1, c2, c3, c4 = st.columns(4)
     close_mosaic = c1.number_input("close_mosaic", 0, 100, 10, key="train_close_mosaic")
     save_period = c2.number_input("save_period(-1关闭)", -1, 100, -1, key="train_save_period")
+    cache = c3.checkbox("cache(内存缓存解码图)", value=False, key="train_cache")
+    do_val = c4.checkbox("val(每epoch验证)", value=True, key="train_val")
+
+    with st.expander("数据增强 / 损失增益", expanded=False):
+        c1, c2, c3, c4 = st.columns(4)
+        mosaic = c1.slider("mosaic", 0.0, 1.0, 1.0, 0.05, key="train_mosaic")
+        mixup = c2.slider("mixup", 0.0, 1.0, 0.0, 0.05, key="train_mixup")
+        scale_a = c3.slider("scale", 0.0, 0.9, 0.5, 0.05, key="train_scale")
+        translate = c4.slider("translate", 0.0, 0.9, 0.1, 0.05, key="train_translate")
+        c1, c2, c3, c4 = st.columns(4)
+        degrees = c1.slider("degrees", 0.0, 180.0, 0.0, 1.0, key="train_degrees")
+        shear = c2.slider("shear", 0.0, 45.0, 0.0, 0.5, key="train_shear")
+        fliplr = c3.slider("fliplr", 0.0, 1.0, 0.5, 0.05, key="train_fliplr")
+        flipud = c4.slider("flipud", 0.0, 1.0, 0.0, 0.05, key="train_flipud")
+        c1, c2, c3 = st.columns(3)
+        hsv_h = c1.slider("hsv_h", 0.0, 1.0, 0.015, 0.005, key="train_hsv_h")
+        hsv_s = c2.slider("hsv_s", 0.0, 1.0, 0.7, 0.05, key="train_hsv_s")
+        hsv_v = c3.slider("hsv_v", 0.0, 1.0, 0.4, 0.05, key="train_hsv_v")
+        c1, c2, c3, c4 = st.columns(4)
+        box_gain = c1.number_input("box 损失增益", 0.0, 50.0, 7.5, 0.5, key="train_box")
+        cls_gain = c2.number_input("cls 损失增益", 0.0, 10.0, 0.5, 0.1, key="train_cls")
+        dfl_gain = c3.number_input("dfl 损失增益", 0.0, 10.0, 1.5, 0.1, key="train_dfl")
+        dev_aug = c4.selectbox(
+            "device_augment", ["auto", "on", "off"], key="train_device_augment",
+            help="TPU上执行mosaic/HSV/flip（auto：主机核数<=2时开启）",
+        )
 
     advanced = st.text_area(
         "高级覆盖参数（key=value 每行一个）", key="train_advanced", height=100,
@@ -214,7 +318,16 @@ def render_training_platform():
             "cos_lr": bool(cos_lr), "close_mosaic": int(close_mosaic),
             "save_period": int(save_period), "project": project, "name": run_name,
             "exist_ok": bool(exist_ok), "resume": bool(resume),
+            "cache": bool(cache), "val": bool(do_val),
+            "mosaic": float(mosaic), "mixup": float(mixup),
+            "scale": float(scale_a), "translate": float(translate),
+            "degrees": float(degrees), "shear": float(shear),
+            "fliplr": float(fliplr), "flipud": float(flipud),
+            "hsv_h": float(hsv_h), "hsv_s": float(hsv_s), "hsv_v": float(hsv_v),
+            "box": float(box_gain), "cls": float(cls_gain), "dfl": float(dfl_gain),
         }
+        if dev_aug != "auto":
+            train_kwargs["device_augment"] = dev_aug == "on"
         train_kwargs.update(overrides)
         env_vars = {}
         for pair in (env_text or "").split(";"):

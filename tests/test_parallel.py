@@ -155,3 +155,28 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_hybrid_dcn_mesh_spec():
+    """@dcn specs fold the host factor into the data axis (single-process
+    fallback path; the multi-process branch uses mesh_utils hybrid order)."""
+    import jax
+
+    from deal_yolo_daya_tpu.parallel.mesh import mesh_from_spec
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    m = mesh_from_spec("2x4@dcn")
+    assert dict(m.shape) == {"data": 8, "model": 1}
+    m2 = mesh_from_spec("2x2x2@dcn")
+    assert dict(m2.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        mesh_from_spec("3x4@dcn")
+
+
+def test_init_distributed_noop_without_env(monkeypatch):
+    from deal_yolo_daya_tpu.parallel import mesh as pmesh
+
+    for var in ("DYD_COORDINATOR", "DYD_NUM_PROCESSES", "DYD_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert pmesh.init_distributed() is False

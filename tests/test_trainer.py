@@ -35,6 +35,9 @@ def run_result(tmp_path_factory):
         max_boxes=16,
         warmup_epochs=0.5,
         workers=2,
+        device_augment=False,  # pin the host-augment path (auto flips it on
+                               # for <=2-core hosts; the device path has its
+                               # own test in test_trainer_paths.py)
     )
     trainer = Trainer(cfg)
     result = trainer.train()

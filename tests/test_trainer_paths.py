@@ -48,6 +48,7 @@ def test_trainer_on_multi_device_mesh(tmp_path):
         model="yolo11n", data=str(data_yaml), epochs=1, imgsz=64, batch=4,
         amp=False, close_mosaic=0, project=str(tmp_path / "runs"), name="tp",
         seed=0, max_boxes=16, warmup_epochs=0.5, workers=2,
+        device_augment=False,  # pin: auto would flip it on (1-core host)
     )
     trainer = Trainer(cfg, mesh=mesh)
     assert not trainer.single_device
