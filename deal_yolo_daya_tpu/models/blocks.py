@@ -24,29 +24,86 @@ def autopad(k: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
     return ((p, p), (p, p))
 
 
+class _SPDConv2(nn.Module):
+    """Stride-2 3x3 conv lowered to space-to-depth + 2x2 conv — EXACTLY the
+    same function and the same (3, 3, C, O) kernel parameter as the direct
+    conv, but the contraction dimension grows 27 -> 48..4C*4 taps, which the
+    MXU tiles far better when C is small (the YOLO stem's 3- and 16-channel
+    stride-2 convs measured 4.3/4.0 ms of a 14 ms b32@640 forward).
+
+    Derivation: output (i, j) reads input rows 2i-1..2i+1. With 2x2
+    space-to-depth blocks, kernel tap (k_r, dy) reads row 2(i-1+k_r)+dy, so
+    original kernel row a maps to r4 = a+1 of a front-zero-padded 4x4 kernel,
+    and r4 splits exactly into (k_r, dy). Same for columns.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        # same initializer as nn.Conv's default (fan_in = 3*3*C)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, c, self.features),
+            jnp.float32,
+        )
+        k = kernel.astype(self.dtype)
+        k4 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # front zero row/col
+        k4 = (
+            k4.reshape(2, 2, 2, 2, c, self.features)   # (k_r, dy, k_c, dx, c, o)
+            .transpose(0, 2, 1, 3, 4, 5)                # (k_r, k_c, dy, dx, c, o)
+            .reshape(2, 2, 4 * c, self.features)
+        )
+        xs = (
+            x.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)                # (b, bh, bw, dy, dx, c)
+            .reshape(b, h // 2, w // 2, 4 * c)
+        )
+        return jax.lax.conv_general_dilated(
+            xs, k4, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ConvBN(nn.Module):
-    """Conv2D + BatchNorm + SiLU (optionally no activation)."""
+    """Conv2D + BatchNorm + SiLU (optionally no activation).
+
+    Stride-2 3x3 convs run through the space-to-depth lowering (_SPDConv2)
+    when enabled — identical math and parameters, better MXU tiling for the
+    low-channel stem/downsample convs."""
 
     features: int
     kernel: int = 1
     stride: int = 1
     groups: int = 1
     act: bool = True
+    # measured a wash at b32@640 on v5e (XLA's own conv lowering already
+    # handles the low-channel stem); kept available for other topologies
+    spd: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=autopad(self.kernel),
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if (
+            self.spd and self.kernel == 3 and self.stride == 2
+            and self.groups == 1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        ):
+            x = _SPDConv2(self.features, dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=autopad(self.kernel),
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.97,

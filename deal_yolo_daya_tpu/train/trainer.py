@@ -335,8 +335,10 @@ class Trainer:
             # outputs feed train_step's data-sharded inputs directly
             "out_shardings": (data_sh, data_sh, data_sh, data_sh),
         }
+        # mosaic_off passed POSITIONALLY: pjit rejects kwargs when
+        # in_shardings is specified
         self.device_augment_step = jax.jit(
-            device_augment_step, static_argnames=("mosaic_off",), **aug_kwargs
+            device_augment_step, static_argnums=(6,), **aug_kwargs
         )
 
         conf, iou_t, max_det = self.cfg.conf, self.cfg.iou, self.cfg.max_det
@@ -480,7 +482,7 @@ class Trainer:
                     )
                     seed = np.uint32((cfg.seed << 20) + epoch * 16384 + n_steps)
                     aug = self.device_augment_step(
-                        *args, seed, mosaic_off=self.train_loader.mosaic_off
+                        *args, seed, self.train_loader.mosaic_off
                     )
                     self.state, total, loss_acc = self.train_step(
                         self.state, loss_acc, *aug

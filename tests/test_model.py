@@ -71,3 +71,26 @@ def test_bf16_compute_dtype():
     assert all(l.dtype == jnp.float32 for l in leaves)
     box, cls = model.apply(variables, jnp.zeros((1, 64, 64, 3), jnp.bfloat16), train=False)
     assert box[0].dtype == jnp.bfloat16
+
+
+def test_spd_lowering_equivalence():
+    """ConvBN(spd=True) is the same function as the direct stride-2 3x3 conv
+    (space-to-depth + 2x2 kernel rearrangement, PERF.md round 2)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from deal_yolo_daya_tpu.models.blocks import ConvBN
+
+    rng = np.random.default_rng(0)
+    for h, c, o in ((16, 3, 16), (8, 16, 32)):
+        x = jnp.asarray(rng.normal(0, 1, (2, h, h, c)), jnp.float32)
+        m_spd = ConvBN(o, 3, 2, spd=True)
+        m_ref = ConvBN(o, 3, 2, spd=False)
+        v = m_spd.init(jax.random.PRNGKey(0), x, train=False)
+        y_spd = m_spd.apply(v, x, train=False)
+        y_ref = m_ref.apply(v, x, train=False)  # same param tree shape
+        assert y_spd.shape == y_ref.shape
+        np.testing.assert_allclose(
+            np.asarray(y_spd), np.asarray(y_ref), atol=1e-5
+        )
