@@ -134,6 +134,25 @@ def test_nms_greedy_cascade_exactness():
     np.testing.assert_allclose(osc[0, :2], [0.9, 0.7], atol=1e-6)
 
 
+def test_nms_pallas_suppress_parity():
+    # fused VMEM kernel (interpret mode on CPU) must match the XLA solve
+    # bit-for-bit on a dense random scene, including cascades and padding
+    rng = np.random.default_rng(7)
+    B, A = 2, 256
+    cx = rng.uniform(20, 200, (B, A))
+    cy = rng.uniform(20, 200, (B, A))
+    w = rng.uniform(4, 60, (B, A))
+    h = rng.uniform(4, 60, (B, A))
+    boxes = jnp.asarray(
+        np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1), jnp.float32
+    )
+    scores = jnp.asarray(rng.uniform(0, 1, (B, A, 3)).astype(np.float32))
+    ref = batched_nms(boxes, scores, 0.3, 0.45, pre_topk=128, use_pallas=False)
+    got = batched_nms(boxes, scores, 0.3, 0.45, pre_topk=128, use_pallas=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
 def test_letterbox_border_replication():
     # upscaling: the first content pixel must replicate the border, not blend
     # toward the second source pixel
