@@ -241,6 +241,89 @@ class YOLO:
         }, ensure_ascii=False))
         return out_dir
 
+    def export_stablehlo(
+        self,
+        out_dir,
+        batch_size: int = 1,
+        max_det: int = 300,
+        use_pallas: bool = False,
+    ) -> "Path":
+        """Write a portable compiled serving artifact: the FULL inference
+        program (uint8 NHWC letterboxed batch -> NMS'd detections) serialized
+        as StableHLO via jax.export, weights baked in as constants.
+
+        The artifact is loadable by any JAX process via
+        ``YOLO.load_stablehlo`` (or ``jax.export.deserialize`` directly —
+        this package is not needed at serving time) and compiles for CPU and
+        TPU. conf/iou stay runtime scalars, so a serving frontend can sweep
+        thresholds without re-export. ``use_pallas=True`` embeds the fused
+        Mosaic NMS kernel and makes the artifact TPU-only; the default uses
+        the portable XLA formulation. Replaces the ``model.export()`` serving
+        capability the reference delegates to ultralytics (SURVEY §2.2)."""
+        import json as _json
+
+        import jax
+        import jax.numpy as jnp
+        from jax import export as jexport
+
+        from .models.yolo11 import fuse_conv_bn
+        from .ops.decode import decode_predictions
+        from .ops.nms import batched_nms
+
+        self._ensure_built()
+        model, imgsz = self._model, self.imgsz
+        fused = fuse_conv_bn(jax.device_get(self._variables))
+
+        def serve(images, conf, iou):
+            x = images.astype(jnp.bfloat16) / 255.0
+            box, cls = model.apply(fused, x, train=False)
+            boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
+            return batched_nms(
+                boxes, scores, conf_thres=conf, iou_thres=iou,
+                pre_topk=1000, max_det=max_det, use_pallas=use_pallas,
+            )
+
+        args = (
+            jax.ShapeDtypeStruct((batch_size, imgsz, imgsz, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32),
+        )
+        platforms = None if use_pallas else ("cpu", "tpu")
+        exported = jexport.export(jax.jit(serve), platforms=platforms)(*args)
+
+        out_dir = Path(out_dir).resolve()
+        out_dir.mkdir(parents=True, exist_ok=True)
+        (out_dir / "model.stablehlo").write_bytes(exported.serialize())
+        (out_dir / "meta.json").write_text(_json.dumps({
+            "scale": self.scale,
+            "nc": self.nc,
+            "names": list(self.names),
+            "imgsz": self.imgsz,
+            "batch_size": batch_size,
+            "max_det": max_det,
+            "outputs": ["boxes", "scores", "classes", "num_det"],
+            "inputs": ["images_u8_nhwc", "conf", "iou"],
+            "platforms": list(platforms) if platforms else [jax.default_backend()],
+        }, ensure_ascii=False))
+        return out_dir
+
+    @staticmethod
+    def load_stablehlo(bundle_dir):
+        """Load an export_stablehlo artifact; returns (callable, meta). The
+        callable maps (images_u8, conf, iou) -> (boxes, scores, classes,
+        num_det) and runs on whatever backend JAX selects."""
+        import json as _json
+
+        import jax
+        from jax import export as jexport
+
+        bundle_dir = Path(bundle_dir).resolve()
+        exported = jexport.deserialize(
+            (bundle_dir / "model.stablehlo").read_bytes()
+        )
+        meta = _json.loads((bundle_dir / "meta.json").read_text())
+        return jax.jit(exported.call), meta
+
     @classmethod
     def from_export(cls, bundle_dir) -> "YOLO":
         """Load a serving bundle written by export()."""

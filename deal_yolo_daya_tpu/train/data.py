@@ -340,9 +340,17 @@ class DataLoader:
 
 class Prefetcher:
     """Background-thread prefetch: overlaps host decode/augment with device
-    compute. Yields batches from a bounded queue (double/triple buffered)."""
+    compute. Yields batches from a bounded queue (double/triple buffered).
 
-    def __init__(self, loader_iter: Iterator[Batch], depth: int = 3):
+    `transfer` (optional) runs on each item inside the worker thread —
+    pass the device_put/bucketing closure so H2D upload overlaps the train
+    loop instead of serializing with it. Through the axon tunnel the upload
+    is the epoch critical path (~750 MB/s: 157 ms for a b32@640 uint8
+    batch vs a 47 ms train step — PERF.md round 2); queue depth then bounds
+    device-resident staging memory, so keep it small."""
+
+    def __init__(self, loader_iter: Iterator[Batch], depth: int = 3,
+                 transfer=None):
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
@@ -350,7 +358,7 @@ class Prefetcher:
         def _worker():
             try:
                 for item in loader_iter:
-                    self._queue.put(item)
+                    self._queue.put(item if transfer is None else transfer(item))
             except BaseException as e:  # propagate into consumer
                 self._err = e
             finally:

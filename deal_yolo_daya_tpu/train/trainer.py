@@ -97,6 +97,13 @@ class TrainConfig:
     # capture a jax.profiler trace of the first N steps of epoch 0 into
     # <run_dir>/profile (open with TensorBoard / xprof); 0 = off
     profile_steps: int = 0
+    # non-blocking orbax saves: device->host fetch and the filesystem commit
+    # run in a background thread while training continues (orbax serializes
+    # consecutive saves itself); flushed before train() returns
+    async_ckpt: bool = True
+    # keep the newest K save_period epochN checkpoints (last/best are always
+    # kept); <= 0 keeps everything
+    keep_last: int = 5
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -139,6 +146,7 @@ def bucket_gt(gt_boxes, gt_classes, gt_mask, max_boxes: int, min_bucket: int = 4
 class Trainer:
     def __init__(self, config: TrainConfig, mesh=None):
         self.cfg = config
+        self._ckptr = None
         self.scale = parse_scale(config.model)
         self.train_ds = YoloDataset.from_yaml(config.data, "train")
         self.val_ds = YoloDataset.from_yaml(config.data, "val")
@@ -343,12 +351,12 @@ class Trainer:
 
         conf, iou_t, max_det = self.cfg.conf, self.cfg.iou, self.cfg.max_det
 
-        def eval_step(params, batch_stats, images, gt_boxes, gt_classes, gt_mask):
+        def eval_step(params, batch_stats, images, gt_boxes, gt_classes, gt_mask, inv):
             x = images.astype(self.dtype) / 255.0
             box, cls = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False
             )
-            total, parts = detection_loss(
+            _, parts = detection_loss(
                 box, cls, gt_classes, gt_boxes, gt_mask, (imgsz, imgsz), loss_cfg
             )
             boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
@@ -356,10 +364,19 @@ class Trainer:
                 boxes, scores, conf_thres=conf, iou_thres=iou_t,
                 pre_topk=1000, max_det=max_det,
             )
-            return det, total, parts
+            # letterbox-unmap to original-image space on device; inv is
+            # (B, 5) = [r, px, py, ow, oh] per image (round-2: this used to
+            # run per image in host numpy — the val epoch tail at scale)
+            pad = jnp.stack([inv[:, 1], inv[:, 2], inv[:, 1], inv[:, 2]], -1)
+            lim = jnp.stack([inv[:, 3], inv[:, 4], inv[:, 3], inv[:, 4]], -1)
+            unmap = lambda b: jnp.clip(
+                (b - pad[:, None, :]) / inv[:, 0][:, None, None],
+                0.0, lim[:, None, :],
+            )
+            return det, unmap(det[0]), unmap(gt_boxes), parts
 
         eval_kwargs = {} if self.single_device else {
-            "in_shardings": (None, None, data_sh, data_sh, data_sh, data_sh)
+            "in_shardings": (None, None, data_sh, data_sh, data_sh, data_sh, data_sh)
         }
         self.eval_step = jax.jit(eval_step, **eval_kwargs)
 
@@ -368,28 +385,64 @@ class Trainer:
     def _ckpt_dir(self) -> Path:
         return (self.run.path / "weights").resolve()
 
-    def save_checkpoint(self, tag: str, epoch: int, fit: float):
+    def _checkpointer(self):
         import orbax.checkpoint as ocp
 
+        if self._ckptr is None:
+            handler = ocp.PyTreeCheckpointHandler()
+            self._ckptr = (
+                ocp.AsyncCheckpointer(handler) if self.cfg.async_ckpt
+                else ocp.Checkpointer(handler)
+            )
+        return self._ckptr
+
+    def flush_checkpoints(self):
+        """Block until any in-flight async save has committed."""
+        if self._ckptr is not None and hasattr(self._ckptr, "wait_until_finished"):
+            self._ckptr.wait_until_finished()
+
+    def save_checkpoint(self, tag: str, epoch: int, fit: float):
         path = self._ckpt_dir() / tag
         # opt_state flattened to a leaf list: robust to the optax NamedTuple
         # structure (re-unflattened onto a freshly-built optimizer on resume).
         # Without it, resume restarts schedule counts — the bias group would
         # re-run its 0.1 warmup on a converged model.
-        opt_leaves = [
-            jax.device_get(x) for x in jax.tree_util.tree_leaves(self.state.opt_state)
-        ]
+        # Device arrays are handed to orbax directly: under async_ckpt the
+        # D2H fetch happens in the background thread (jax arrays are
+        # immutable, so subsequent train steps can't clobber them).
         ckpt = {
-            "params": jax.device_get(self.state.params),
-            "batch_stats": jax.device_get(self.state.batch_stats),
-            "ema_params": jax.device_get(self.state.ema_params),
-            "opt_leaves": opt_leaves,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "ema_params": self.state.ema_params,
+            "opt_leaves": list(jax.tree_util.tree_leaves(self.state.opt_state)),
             "step": int(self.state.step),
             "epoch": epoch,
             "fitness": fit,
         }
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, ckpt, force=True)
+        self._checkpointer().save(path, ckpt, force=True)
+        self._gc_epoch_checkpoints(current=tag)
+
+    def _gc_epoch_checkpoints(self, current: str = ""):
+        """Keep only the newest cfg.keep_last epochN dirs (last/best stay).
+        `current` is the tag just handed to the (possibly async, hence not yet
+        visible on disk) save, counted toward the quota."""
+        k = self.cfg.keep_last
+        if not k or k <= 0:
+            return
+        import re
+        import shutil
+
+        epochs = {}
+        for p in self._ckpt_dir().glob("epoch*"):
+            m = re.fullmatch(r"epoch(\d+)", p.name)
+            if m and p.is_dir():
+                epochs[int(m.group(1))] = p
+        m = re.fullmatch(r"epoch(\d+)", current)
+        if m:
+            epochs.setdefault(int(m.group(1)), None)
+        for n in sorted(epochs)[:-k]:
+            if epochs[n] is not None:
+                shutil.rmtree(epochs[n], ignore_errors=True)
 
     def _try_resume(self):
         import orbax.checkpoint as ocp
@@ -460,26 +513,36 @@ class Trainer:
             n_steps = 0
             epoch_t0 = time.time()
             use_device_aug = cfg.device_augment
+
+            # H2D upload runs inside the prefetch worker so it overlaps the
+            # step loop — through the axon tunnel the raw-image upload is the
+            # epoch critical path, not the train step (PERF.md round 2)
             if use_device_aug:
+                transfer = lambda b: jax.device_put(
+                    (b.images, b.hw, b.gt_boxes, b.gt_classes, b.gt_mask),
+                    data_sh,
+                )
                 epoch_iter = Prefetcher(
-                    self.train_loader.epoch_raw(epoch), depth=cfg.workers
+                    self.train_loader.epoch_raw(epoch), depth=cfg.workers,
+                    transfer=transfer,
                 )
             else:
+                def transfer(b):
+                    gtb, gtc, gtm = bucket_gt(
+                        b.gt_boxes, b.gt_classes, b.gt_mask, cfg.max_boxes
+                    )
+                    return jax.device_put((b.images, gtb, gtc, gtm), data_sh)
                 epoch_iter = Prefetcher(
-                    self.train_loader.epoch(epoch), depth=cfg.workers
+                    self.train_loader.epoch(epoch), depth=cfg.workers,
+                    transfer=transfer,
                 )
             profiling = False
-            for batch in epoch_iter:
+            for args in epoch_iter:
                 if cfg.profile_steps and epoch == self.start_epoch and n_steps == 1:
                     # start after step 0 so compile time stays out of the trace
                     jax.profiler.start_trace(str(self.run.path / "profile"))
                     profiling = True
                 if use_device_aug:
-                    args = jax.device_put(
-                        (batch.images, batch.hw, batch.gt_boxes,
-                         batch.gt_classes, batch.gt_mask),
-                        data_sh,
-                    )
                     seed = np.uint32((cfg.seed << 20) + epoch * 16384 + n_steps)
                     aug = self.device_augment_step(
                         *args, seed, self.train_loader.mosaic_off
@@ -488,11 +551,6 @@ class Trainer:
                         self.state, loss_acc, *aug
                     )
                 else:
-                    gtb, gtc, gtm = bucket_gt(
-                        batch.gt_boxes, batch.gt_classes, batch.gt_mask,
-                        cfg.max_boxes,
-                    )
-                    args = jax.device_put((batch.images, gtb, gtc, gtm), data_sh)
                     self.state, total, loss_acc = self.train_step(
                         self.state, loss_acc, *args
                     )
@@ -554,6 +612,7 @@ class Trainer:
                 print(f"EarlyStopping: 最近 {cfg.patience} 个 epoch 无提升，提前停止")
                 break
 
+        self.flush_checkpoints()
         final_metrics, _ = self.validate(save_artifacts=True) if cfg.val else ({}, {})
         self.run.plot_results()
         print(f"训练完成，用时 {time.time() - t0:.1f}s，结果目录：{self.run.path}")
@@ -570,44 +629,51 @@ class Trainer:
         data_sh = None if self.single_device else batch_sharding(self.mesh)
         params = self.state.ema_params if use_ema else self.state.params
         det_metrics = DetMetrics(nc=self.nc)
-        val_losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
-        n_steps = 0
+        loss_parts: list = []
         cm_preds, cm_gts = [], []
         batches_saved = 0
+        identity_inv = np.array([1.0, 0.0, 0.0, 1e9, 1e9], np.float32)
 
-        for batch in self.val_loader.epoch(0):
+        def stage(batch):
+            # runs in the Prefetcher worker: bucketing + H2D upload overlap
+            # the eval dispatch/consume loop
             gtb, gtc, gtm = bucket_gt(
                 batch.gt_boxes, batch.gt_classes, batch.gt_mask, cfg.max_boxes
             )
-            args = jax.device_put((batch.images, gtb, gtc, gtm), data_sh)
-            (ob, osc, ocl, nd), total, parts = self.eval_step(
+            if batch.meta:
+                inv = np.array(
+                    [
+                        [m[2], m[3][0], m[3][1], m[1][1], m[1][0]]
+                        if m is not None else identity_inv
+                        for m in batch.meta
+                    ],
+                    np.float32,
+                )
+            else:
+                inv = np.tile(identity_inv, (len(batch.images), 1))
+            args = jax.device_put((batch.images, gtb, gtc, gtm, inv), data_sh)
+            return batch, gtm, args
+
+        def dispatch(item):
+            batch, gtm, args = item
+            det, det_orig, gt_orig, parts = self.eval_step(
                 params, self.state.batch_stats, *args
             )
-            ob, osc, ocl, nd = map(np.asarray, (ob, osc, ocl, nd))
-            n_steps += 1
-            for k in val_losses:
-                val_losses[k] += float(parts[k])
+            return batch, gtm, det, det_orig, gt_orig, parts
 
+        def consume(staged):
+            nonlocal batches_saved
+            batch, gtm, det, det_orig, gt_orig, parts = staged
+            loss_parts.append(parts)
+            ob, osc, ocl, nd = map(np.asarray, det)
+            pb, gb = np.asarray(det_orig), np.asarray(gt_orig)
             for i in range(len(batch.images)):
-                meta = batch.meta[i] if batch.meta else None
                 n = int(nd[i])
-                pred_boxes = ob[i, :n].copy()
-                pred_scores = osc[i, :n]
-                pred_cls = ocl[i, :n]
-                gt_b = batch.gt_boxes[i][batch.gt_mask[i]].copy()
-                gt_c = batch.gt_classes[i][batch.gt_mask[i]]
-                if meta is not None:
-                    _, (oh, ow), r, (px, py) = meta
-                    for arr in (pred_boxes, gt_b):
-                        if len(arr):
-                            arr -= [px, py, px, py]
-                            arr /= r
-                            arr[:, [0, 2]] = arr[:, [0, 2]].clip(0, ow)
-                            arr[:, [1, 3]] = arr[:, [1, 3]].clip(0, oh)
-                det_metrics.update(pred_boxes, pred_scores, pred_cls, gt_b, gt_c)
-                cm_preds.append((pred_boxes, pred_scores, pred_cls))
-                cm_gts.append((gt_b, gt_c))
-
+                m = gtm[i]
+                det_metrics.update(pb[i, :n], osc[i, :n], ocl[i, :n],
+                                   gb[i][m], batch.gt_classes[i][: len(m)][m])
+                cm_preds.append((pb[i, :n], osc[i, :n], ocl[i, :n]))
+                cm_gts.append((gb[i][m], batch.gt_classes[i][: len(m)][m]))
             if save_artifacts and batches_saved < 3:
                 self.run.save_val_batch_predictions(
                     batch.images, ob, osc, ocl, nd, self.names,
@@ -619,8 +685,28 @@ class Trainer:
                 )
                 batches_saved += 1
 
-        for k in val_losses:
-            val_losses[k] /= max(n_steps, 1)
+        # one-batch pipeline: host metrics for batch i overlap the device's
+        # eval of batch i+1 (the host pull in consume() is the sync point);
+        # the Prefetcher worker overlaps upload of batch i+2 with both
+        staged = None
+        for item in Prefetcher(self.val_loader.epoch(0), depth=2,
+                               transfer=stage):
+            nxt = dispatch(item)
+            if staged is not None:
+                consume(staged)
+            staged = nxt
+        if staged is not None:
+            consume(staged)
+
+        # one device sync per epoch for the loss means (axon rule: no
+        # per-batch float() pulls)
+        n_steps = len(loss_parts)
+        val_losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
+        if n_steps:
+            for k in val_losses:
+                val_losses[k] = float(
+                    jnp.stack([p[k] for p in loss_parts]).sum()
+                ) / n_steps
         result = det_metrics.compute()
         if save_artifacts:
             cm = confusion_matrix(cm_preds, cm_gts, self.nc)

@@ -64,6 +64,42 @@ def test_parse_scale_variants():
     assert parse_scale("unknown_model") == "n"
 
 
+def test_stablehlo_export_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    model = YOLO("yolo11n", nc=2, imgsz=64)
+    model._ensure_built()
+    bundle = model.export_stablehlo(tmp_path / "shlo", batch_size=2, max_det=16)
+    assert (bundle / "model.stablehlo").exists()
+
+    fn, meta = YOLO.load_stablehlo(bundle)
+    assert meta["platforms"] == ["cpu", "tpu"]
+    imgs = np.random.default_rng(2).integers(0, 255, (2, 64, 64, 3), np.uint8)
+    ob, osc, ocl, nd = fn(jnp.asarray(imgs), jnp.float32(0.001), jnp.float32(0.7))
+    assert ob.shape == (2, 16, 4) and osc.shape == (2, 16)
+
+    # the deserialized program matches the live inference path exactly
+    import jax
+
+    from deal_yolo_daya_tpu.models.yolo11 import fuse_conv_bn
+    from deal_yolo_daya_tpu.ops.decode import decode_predictions
+    from deal_yolo_daya_tpu.ops.nms import batched_nms
+
+    fused = fuse_conv_bn(jax.device_get(model._variables))
+    x = jnp.asarray(imgs).astype(jnp.bfloat16) / 255.0
+    box, cls = model._model.apply(fused, x, train=False)
+    b, s = decode_predictions(box, cls, (64, 64))
+    ref = batched_nms(b, s, 0.001, 0.7, pre_topk=1000, max_det=16,
+                      use_pallas=False)
+    for r, g in zip(ref, (ob, osc, ocl, nd)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g), atol=1e-5)
+
+    # conf is a runtime scalar: sweeping it reuses the same artifact
+    _, _, _, nd_hi = fn(jnp.asarray(imgs), jnp.float32(0.9), jnp.float32(0.7))
+    assert int(nd_hi.sum()) <= int(nd.sum())
+
+
 def test_export_and_reload_roundtrip(tmp_path):
     import numpy as np
 

@@ -98,6 +98,25 @@ def test_resume_from_checkpoint(run_result):
     assert df["epoch"].tolist() == [3]
 
 
+def test_checkpoint_gc_and_async_flush(run_result):
+    # async saves commit in the background; keep_last GC counts the in-flight
+    # tag so the quota is exact, and last/best are never collected
+    _, _, trainer, result = run_result
+    weights = Path(result["save_dir"]) / "weights"
+    trainer.cfg.keep_last = 2
+    for e in range(5):
+        trainer.save_checkpoint(f"epoch{e + 1}", e, 0.0)
+    trainer.flush_checkpoints()
+    assert sorted(p.name for p in weights.glob("epoch*")) == ["epoch4", "epoch5"]
+    assert (weights / "last").exists() and (weights / "best").exists()
+    # GC'd checkpoints are gone but the survivors restore cleanly
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckpt = ckptr.restore((weights / "epoch5").resolve())
+    assert ckpt["epoch"] == 4
+
+
 def test_collect_run_dirs_contract(run_result):
     tmp_path, _, _, result = run_result
     from deal_yolo_daya_tpu.core.training import collect_run_dirs
