@@ -293,40 +293,60 @@ class DataLoader:
                 )
 
 
-    def epoch_raw(self, epoch_idx: int = 0, n_workers: int = 8) -> Iterator[RawBatch]:
-        """Decode-and-resize-only epoch for device-side augmentation: the host
-        does one keep-ratio resize per image; mosaic/affine/HSV/flip happen on
-        the TPU (train.device_augment.augment_batch)."""
+    def load_raw(self, i):
+        """Decode + keep-ratio resize one sample onto an imgsz canvas (no
+        augmentation): (u8 canvas, f32 (h, w), padded boxes/classes/mask)."""
+        s = self.imgsz
+        img = self.ds.image(int(i))
+        h0, w0 = img.shape[:2]
+        img, r = resize_keep_ratio(img, s)
+        h, w = img.shape[:2]
+        buf = np.full((s, s, 3), 114, np.uint8)
+        buf[:h, :w] = img
+        boxes, classes = self.ds.boxes_xyxy(int(i), w0, h0)
+        if len(boxes):
+            boxes = boxes * r
+        pb, pc, pm = _pad_labels(boxes, classes, self.max_boxes)
+        return buf, np.float32((h, w)), pb, pc, pm
+
+    def raw_chunks(self, chunk_size: int = 256, n_workers: int = 8):
+        """Ordered pass over the whole dataset in stacked chunks — the feed
+        for the trainer's HBM-resident dataset cache (upload once, gather
+        batches on device every epoch)."""
+        n = len(self.ds)
+        with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for start in range(0, n, chunk_size):
+                rows = list(pool.map(self.load_raw, range(start, min(start + chunk_size, n))))
+                images, hw, gtb, gtc, gtm = zip(*rows)
+                yield (np.stack(images), np.stack(hw), np.stack(gtb),
+                       np.stack(gtc), np.stack(gtm))
+
+    def epoch_indices(self, epoch_idx: int = 0) -> Iterator[np.ndarray]:
+        """The per-batch dataset indices an epoch_raw epoch would use (short
+        final batch wrapped to full size). Shared by epoch_raw and the
+        trainer's device-cache path so both see identical sampling."""
         n = len(self.ds)
         if n == 0:
             return
         rng = np.random.default_rng(self.seed + 1000 * epoch_idx)
         order = rng.permutation(n) if self.shuffle else np.arange(n)
-        nb = len(self)
-        s = self.imgsz
+        for b in range(len(self)):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(idxs) == 0:
+                break
+            while len(idxs) < self.batch_size:
+                idxs = np.concatenate(
+                    [idxs, order[: self.batch_size - len(idxs)]]
+                )
+            yield idxs
 
-        def build_one(i):
-            img = self.ds.image(int(i))
-            h0, w0 = img.shape[:2]
-            img, r = resize_keep_ratio(img, s)
-            h, w = img.shape[:2]
-            buf = np.full((s, s, 3), 114, np.uint8)
-            buf[:h, :w] = img
-            boxes, classes = self.ds.boxes_xyxy(int(i), w0, h0)
-            if len(boxes):
-                boxes = boxes * r
-            pb, pc, pm = _pad_labels(boxes, classes, self.max_boxes)
-            return buf, np.float32((h, w)), pb, pc, pm
-
+    def epoch_raw(self, epoch_idx: int = 0, n_workers: int = 8) -> Iterator[RawBatch]:
+        """Decode-and-resize-only epoch for device-side augmentation: the host
+        does one keep-ratio resize per image; mosaic/affine/HSV/flip happen on
+        the TPU (train.device_augment.augment_batch)."""
+        build_one = self.load_raw
         with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
-            for b in range(nb):
-                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                if len(idxs) == 0:
-                    break
-                while len(idxs) < self.batch_size:
-                    idxs = np.concatenate(
-                        [idxs, order[: self.batch_size - len(idxs)]]
-                    )
+            for idxs in self.epoch_indices(epoch_idx):
                 results = list(pool.map(build_one, idxs))
                 images, hw, gtb, gtc, gtm = zip(*results)
                 yield RawBatch(

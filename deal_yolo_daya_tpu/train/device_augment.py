@@ -93,6 +93,26 @@ def hsv_jitter_device(img: jnp.ndarray, gains: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _axis_weights(coords: jnp.ndarray, n_in: int) -> jnp.ndarray:
+    """1D bilinear resampling as a dense weight matrix: row s holds the two
+    taps for output coordinate coords[s] (border-replicated like
+    _bilinear_sample: neighbor indices clipped, fractions from the unclipped
+    floor). (S_out,) f32 -> (S_out, n_in) f32, two nonzeros per row.
+
+    Exists so separable resampling runs as one-hot MATMULS on the MXU: a 2D
+    advanced-index gather with computed indices lowers to per-element lane
+    gathers on TPU (CLAUDE.md rule 9) — measured ~1.2 s for one augmented
+    b32@320 batch vs ~ms as matmuls."""
+    x0 = jnp.floor(coords)
+    fx = coords - x0
+    i0 = jnp.clip(x0.astype(jnp.int32), 0, n_in - 1)
+    i1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, n_in - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], n_in), 1)
+    w0 = (cols == i0[:, None]).astype(jnp.float32) * (1.0 - fx)[:, None]
+    w1 = (cols == i1[:, None]).astype(jnp.float32) * fx[:, None]
+    return w0 + w1
+
+
 def _bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """img (H, W, 3) f32; x, y (S, S) source coords -> (S, S, 3)."""
     h, w = img.shape[:2]
@@ -173,28 +193,56 @@ def _mosaic_one(
 
     ys = jnp.arange(s, dtype=jnp.float32)
     xs = jnp.arange(s, dtype=jnp.float32)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    dx, dy = gx - tx, gy - ty
-    canvas_x = i00 * dx + i01 * dy + cxc
-    canvas_y = i10 * dx + i11 * dy + cyc
+    if cfg.degrees == 0.0 and cfg.shear == 0.0:
+        # SEPARABLE FAST PATH (the YOLO default): no rotation/shear makes the
+        # inverse map axis-aligned, so resampling factors into two 1D
+        # bilinear matmuls (MXU) and the quadrant/validity masks factor into
+        # outer products of 1D masks. The general path below costs ~1.2 s
+        # per b32@320 batch on TPU (per-pixel lane gathers); this runs in ms.
+        cx1 = i00 * (xs - tx) + cxc              # (S,)
+        cy1 = i11 * (ys - ty) + cyc
+        sx4 = cx1[None, :] - origin_x[:, None]   # (4, S)
+        sy4 = cy1[None, :] - origin_y[:, None]
+        wx = jax.vmap(lambda c: _axis_weights(c, s))(sx4)   # (4, S, S_in)
+        wy = jax.vmap(lambda c: _axis_weights(c, s))(sy4)
+        tmp = jnp.einsum("qoh,qhwc->qowc", wy, srcs)
+        sampled = jnp.einsum("qxw,qowc->qoxc", wx, tmp)     # (4, S, S, 3)
+        sel_x = use_mosaic & (cx1 >= xc)         # (S,) column in right half
+        sel_y = use_mosaic & (cy1 >= yc)         # (S,) row in bottom half
+        colsel = jnp.stack([~sel_x, sel_x, ~sel_x, sel_x])  # (4, S)
+        rowsel = jnp.stack([~sel_y, ~sel_y, sel_y, sel_y])
+        vx4 = (sx4 >= -0.5) & (sx4 <= ws[:, None] - 0.5)
+        vy4 = (sy4 >= -0.5) & (sy4 <= hs[:, None] - 0.5)
+        m4 = (rowsel & vy4)[:, :, None] & (colsel & vx4)[:, None, :]
+        m4f = m4.astype(jnp.float32)             # (4, S, S)
+        pick = jnp.einsum("qhwc,qhw->hwc", sampled, m4f)
+        pick_valid = jnp.sum(m4f, axis=0) > 0.5
+        out = jnp.where(pick_valid[..., None], pick, FILL)
+    else:
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        dx, dy = gx - tx, gy - ty
+        canvas_x = i00 * dx + i01 * dy + cxc
+        canvas_y = i10 * dx + i11 * dy + cyc
 
-    # quadrant of each canvas coordinate (single path always reads source 0)
-    qx = (canvas_x >= xc).astype(jnp.int32)
-    qy = (canvas_y >= yc).astype(jnp.int32)
-    quad = jnp.where(use_mosaic, qy * 2 + qx, 0)  # 0 TL, 1 TR, 2 BL, 3 BR
+        # quadrant of each canvas coordinate (single path reads source 0)
+        qx = (canvas_x >= xc).astype(jnp.int32)
+        qy = (canvas_y >= yc).astype(jnp.int32)
+        quad = jnp.where(use_mosaic, qy * 2 + qx, 0)  # 0 TL 1 TR 2 BL 3 BR
 
-    # per-quadrant source coords
-    src_x4 = canvas_x[None] - origin_x[:, None, None]
-    src_y4 = canvas_y[None] - origin_y[:, None, None]
-    sampled = jax.vmap(_bilinear_sample)(srcs, src_x4, src_y4)  # (4, S, S, 3)
-    valid4 = (
-        (src_x4 >= -0.5) & (src_x4 <= ws[:, None, None] - 0.5)
-        & (src_y4 >= -0.5) & (src_y4 <= hs[:, None, None] - 0.5)
-    )
-    onehot = jax.nn.one_hot(quad, 4, dtype=jnp.float32)  # (S, S, 4)
-    pick = jnp.einsum("qhwc,hwq->hwc", sampled, onehot)
-    pick_valid = jnp.einsum("qhw,hwq->hw", valid4.astype(jnp.float32), onehot) > 0.5
-    out = jnp.where(pick_valid[..., None], pick, FILL)
+        # per-quadrant source coords
+        src_x4 = canvas_x[None] - origin_x[:, None, None]
+        src_y4 = canvas_y[None] - origin_y[:, None, None]
+        sampled = jax.vmap(_bilinear_sample)(srcs, src_x4, src_y4)
+        valid4 = (
+            (src_x4 >= -0.5) & (src_x4 <= ws[:, None, None] - 0.5)
+            & (src_y4 >= -0.5) & (src_y4 <= hs[:, None, None] - 0.5)
+        )
+        onehot = jax.nn.one_hot(quad, 4, dtype=jnp.float32)  # (S, S, 4)
+        pick = jnp.einsum("qhwc,hwq->hwc", sampled, onehot)
+        pick_valid = (
+            jnp.einsum("qhw,hwq->hw", valid4.astype(jnp.float32), onehot) > 0.5
+        )
+        out = jnp.where(pick_valid[..., None], pick, FILL)
 
     # boxes: buffer coords -> canvas (clipped like the host mosaic canvas) ->
     # 4-corner affine (AABB of the transformed corners, exact under rotation)

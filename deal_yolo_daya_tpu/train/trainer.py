@@ -67,7 +67,13 @@ class TrainConfig:
     exist_ok: bool = False
     resume: Any = False
     workers: int = 3           # prefetch depth
-    cache: bool = False        # cache decoded images in RAM
+    # False | True (decoded images in host RAM) | "device" (whole dataset
+    # HBM-resident: uploaded once, every epoch gathers batches on device —
+    # zero steady-state H2D; the north-star input path through the axon
+    # tunnel, whose ~100 MB/s upload otherwise caps the epoch rate).
+    # "device" needs device_augment and a single device; falls back with a
+    # printed warning otherwise. Budget via extra["cache_budget_gb"] (8.0).
+    cache: Any = False
     val: bool = True
     max_boxes: int = 128
     box: float = 7.5
@@ -147,10 +153,12 @@ class Trainer:
     def __init__(self, config: TrainConfig, mesh=None):
         self.cfg = config
         self._ckptr = None
+        self._dev_cache = None
+        self._val_staged = None
         self.scale = parse_scale(config.model)
         self.train_ds = YoloDataset.from_yaml(config.data, "train")
         self.val_ds = YoloDataset.from_yaml(config.data, "val")
-        if config.cache:
+        if config.cache and config.cache != "device":
             self.train_ds.enable_cache()
             self.val_ds.enable_cache()
         if len(self.val_ds) == 0:
@@ -349,6 +357,15 @@ class Trainer:
             device_augment_step, static_argnums=(6,), **aug_kwargs
         )
 
+        if self.single_device:
+            # batch gather from the HBM-resident dataset cache (cache="device"):
+            # idx is the only per-step upload. Major-axis gather of contiguous
+            # image rows lowers to plain DMA on TPU.
+            self.gather_batch = jax.jit(
+                lambda ci, chw, cb, cc, cm, idx:
+                    (ci[idx], chw[idx], cb[idx], cc[idx], cm[idx])
+            )
+
         conf, iou_t, max_det = self.cfg.conf, self.cfg.iou, self.cfg.max_det
 
         def eval_step(params, batch_stats, images, gt_boxes, gt_classes, gt_mask, inv):
@@ -379,6 +396,39 @@ class Trainer:
             "in_shardings": (None, None, data_sh, data_sh, data_sh, data_sh, data_sh)
         }
         self.eval_step = jax.jit(eval_step, **eval_kwargs)
+
+    # ------------------------------------------------------------------ cache
+
+    def _ensure_device_cache(self):
+        """Upload the whole train set (raw letterboxed canvases + padded GT)
+        to HBM once; returns the cache tuple or None when over budget. Every
+        epoch then gathers its batches on device (gather_batch) and the only
+        per-step H2D is a (B,) index vector."""
+        if self._dev_cache is not None:
+            return self._dev_cache
+        dl = self.train_loader
+        n = len(dl.ds)
+        need = n * (dl.imgsz * dl.imgsz * 3 + dl.max_boxes * 24 + 16)
+        budget = float(self.cfg.extra.get("cache_budget_gb", 8.0)) * 1e9
+        if n == 0 or need > budget:
+            print(
+                f"cache=device 需要约 {need / 1e9:.1f} GB HBM，超出预算 "
+                f"{budget / 1e9:.1f} GB，回退为流式加载"
+            )
+            return None
+        t0 = time.time()
+        parts = [[] for _ in range(5)]
+        for chunk in dl.raw_chunks():
+            for lst, arr in zip(parts, jax.device_put(chunk)):
+                lst.append(arr)
+        cache = tuple(jnp.concatenate(ls, axis=0) for ls in parts)
+        jax.block_until_ready(cache)
+        print(
+            f"训练集已缓存至 HBM：{n} 张（约 {need / 1e9:.2f} GB，"
+            f"{time.time() - t0:.1f}s）"
+        )
+        self._dev_cache = cache
+        return cache
 
     # ------------------------------------------------------------------ ckpt
 
@@ -513,11 +563,23 @@ class Trainer:
             n_steps = 0
             epoch_t0 = time.time()
             use_device_aug = cfg.device_augment
+            use_dev_cache = (
+                cfg.cache == "device" and use_device_aug and self.single_device
+                and self._ensure_device_cache() is not None
+            )
+            if cfg.cache == "device" and not use_dev_cache and epoch == self.start_epoch:
+                print("cache=device 需要 device_augment=True 且单设备，已回退")
 
             # H2D upload runs inside the prefetch worker so it overlaps the
             # step loop — through the axon tunnel the raw-image upload is the
             # epoch critical path, not the train step (PERF.md round 2)
-            if use_device_aug:
+            if use_dev_cache:
+                cache = self._dev_cache
+                epoch_iter = (
+                    self.gather_batch(*cache, jnp.asarray(idxs, jnp.int32))
+                    for idxs in self.train_loader.epoch_indices(epoch)
+                )
+            elif use_device_aug:
                 transfer = lambda b: jax.device_put(
                     (b.images, b.hw, b.gt_boxes, b.gt_classes, b.gt_mask),
                     data_sh,
@@ -687,10 +749,19 @@ class Trainer:
 
         # one-batch pipeline: host metrics for batch i overlap the device's
         # eval of batch i+1 (the host pull in consume() is the sync point);
-        # the Prefetcher worker overlaps upload of batch i+2 with both
+        # the Prefetcher worker overlaps upload of batch i+2 with both.
+        # Under cache="device" the staged device args are kept across epochs
+        # (val batches are deterministic), so epochs 2+ re-upload nothing.
+        keep_staged = cfg.cache == "device" and self.single_device
+        if keep_staged and self._val_staged is not None:
+            items = self._val_staged
+        else:
+            items = Prefetcher(self.val_loader.epoch(0), depth=2,
+                               transfer=stage)
+            if keep_staged:
+                items = self._val_staged = list(items)
         staged = None
-        for item in Prefetcher(self.val_loader.epoch(0), depth=2,
-                               transfer=stage):
+        for item in items:
             nxt = dispatch(item)
             if staged is not None:
                 consume(staged)

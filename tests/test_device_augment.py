@@ -148,6 +148,27 @@ def test_mosaic_probability_gating():
         )
 
 
+def test_separable_path_matches_general_sampler():
+    """degrees=shear=0 routes through the separable MXU resampler; an
+    epsilon rotation forces the general per-pixel gather path with a
+    numerically identical affine — outputs must agree."""
+    images, hw, boxes, classes, mask = _batch(b=4)
+    key = jax.random.PRNGKey(3)
+    base = dict(mosaic=1.0, mixup=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+                fliplr=0.0, flipud=0.0, scale=0.5, translate=0.1, shear=0.0)
+    fast = augment_batch(images, hw, boxes, classes, mask, key, S,
+                         DeviceAugConfig(degrees=0.0, **base), max_boxes=M)
+    slow = augment_batch(images, hw, boxes, classes, mask, key, S,
+                         DeviceAugConfig(degrees=1e-7, **base), max_boxes=M)
+    np.testing.assert_allclose(
+        np.asarray(fast[0], np.float32), np.asarray(slow[0], np.float32),
+        atol=1.5,  # uint8 rounding at bilinear tap boundaries
+    )
+    np.testing.assert_allclose(np.asarray(fast[1]), np.asarray(slow[1]),
+                               atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(fast[3]), np.asarray(slow[3]))
+
+
 def test_rotation_90_degrees():
     """degrees=90 with the gate pinned to +-90: a centered square box keeps
     its AABB; content rotates (checked via asymmetric corner pixel)."""

@@ -32,6 +32,30 @@ def test_device_augment_training_path(tmp_path):
     assert float(df["train/cls_loss"][0]) > 0
 
 
+def test_device_cache_training_matches_streaming(tmp_path):
+    """cache='device' (HBM-resident dataset, gather-per-batch) must replicate
+    the streaming epoch_raw path exactly: same sampling (epoch_indices), same
+    augment seeds, hence the same losses."""
+    data_yaml = make_dataset(tmp_path, n_train=8, n_val=4, imgsz=64, nc=2)
+    from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
+
+    def run(name, cache):
+        cfg = TrainConfig(
+            model="yolo11n", data=str(data_yaml), epochs=1, imgsz=64, batch=4,
+            amp=False, close_mosaic=0, project=str(tmp_path / "runs"),
+            name=name, seed=0, max_boxes=16, warmup_epochs=0.5, workers=2,
+            device_augment=True, val=False, cache=cache,
+        )
+        t = Trainer(cfg)
+        result = t.train()
+        df = pd.read_csv(Path(result["save_dir"]) / "results.csv")
+        return df[["train/box_loss", "train/cls_loss", "train/dfl_loss"]].values
+
+    streamed = run("stream", cache=False)
+    cached = run("devcache", cache="device")
+    np.testing.assert_allclose(cached, streamed, rtol=1e-4, atol=1e-5)
+
+
 def test_trainer_on_multi_device_mesh(tmp_path):
     """Full Trainer over an explicit 4x2 (DP x TP) mesh: TP param placement,
     sharded train/eval steps, checkpointing."""
