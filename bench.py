@@ -22,10 +22,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", extras}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: without it every bench process pays ~2 min
+# of TPU recompiles (PERF.md round 2); must be set before jax initializes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 ANCHOR_IMG_PER_S = 667.0  # ultralytics yolo11n @640, T4 TensorRT10 (1.5 ms)
 

@@ -87,11 +87,15 @@ def create_mesh(
     total = len(devices)
     if n_data is None:
         n_data = total // n_model
-    if n_data * n_model != total:
+    need = n_data * n_model
+    if need > total:
         raise ValueError(
-            f"mesh {n_data}x{n_model} does not match {total} devices"
+            f"mesh {n_data}x{n_model} needs {need} devices, only {total} available"
         )
-    arr = np.asarray(devices).reshape(n_data, n_model)
+    # an explicit spec smaller than the host takes the first N devices —
+    # the TPU analog of the reference's CUDA device-string selection
+    # (ref ui/pages/training.py:356 device="0,1,...")
+    arr = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

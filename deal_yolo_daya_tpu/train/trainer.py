@@ -67,13 +67,16 @@ class TrainConfig:
     exist_ok: bool = False
     resume: Any = False
     workers: int = 3           # prefetch depth
-    # False | True (decoded images in host RAM) | "device" (whole dataset
-    # HBM-resident: uploaded once, every epoch gathers batches on device —
-    # zero steady-state H2D; the north-star input path through the axon
-    # tunnel, whose ~100 MB/s upload otherwise caps the epoch rate).
-    # "device" needs device_augment and a single device; falls back with a
-    # printed warning otherwise. Budget via extra["cache_budget_gb"] (8.0).
-    cache: Any = False
+    # None (auto) | False | True (decoded images in host RAM) | "device"
+    # (whole dataset HBM-resident: uploaded once, every epoch gathers
+    # batches on device — zero steady-state H2D; the north-star input path
+    # through the axon tunnel, whose ~100-150 MB/s upload otherwise caps the
+    # epoch rate at ~200 ms/batch). "device" needs device_augment and a
+    # single device; falls back with a printed warning otherwise. Auto picks
+    # "device" exactly when those hold and the set fits the budget
+    # (extra["cache_budget_gb"], default 8.0). 20x measured epoch rate
+    # (PERF.md round 2).
+    cache: Any = None
     val: bool = True
     max_boxes: int = 128
     box: float = 7.5
@@ -184,6 +187,12 @@ class Trainer:
 
         if config.device_augment is None:
             config.device_augment = (os.cpu_count() or 1) <= 2
+        if config.cache is None:
+            config.cache = (
+                "device" if (config.device_augment and self.single_device)
+                else False
+            )
+        self._dev_cache_failed = False
 
         aug = AugmentConfig(
             mosaic=config.mosaic, mixup=config.mixup,
@@ -404,7 +413,7 @@ class Trainer:
         to HBM once; returns the cache tuple or None when over budget. Every
         epoch then gathers its batches on device (gather_batch) and the only
         per-step H2D is a (B,) index vector."""
-        if self._dev_cache is not None:
+        if self._dev_cache is not None or self._dev_cache_failed:
             return self._dev_cache
         dl = self.train_loader
         n = len(dl.ds)
@@ -415,6 +424,7 @@ class Trainer:
                 f"cache=device 需要约 {need / 1e9:.1f} GB HBM，超出预算 "
                 f"{budget / 1e9:.1f} GB，回退为流式加载"
             )
+            self._dev_cache_failed = True
             return None
         t0 = time.time()
         parts = [[] for _ in range(5)]

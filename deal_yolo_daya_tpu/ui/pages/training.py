@@ -269,7 +269,11 @@ def render_training_platform():
     c1, c2, c3, c4 = st.columns(4)
     close_mosaic = c1.number_input("close_mosaic", 0, 100, 10, key="train_close_mosaic")
     save_period = c2.number_input("save_period(-1关闭)", -1, 100, -1, key="train_save_period")
-    cache = c3.checkbox("cache(内存缓存解码图)", value=False, key="train_cache")
+    cache = c3.selectbox(
+        "cache", ["auto", "off", "ram", "device"], key="train_cache",
+        help="auto：单设备+device_augment 时数据集常驻 HBM（消除逐步上传，"
+             "约 20x epoch 速率）；ram：主机内存缓存解码图",
+    )
     do_val = c4.checkbox("val(每epoch验证)", value=True, key="train_val")
 
     with st.expander("数据增强 / 损失增益", expanded=False):
@@ -318,7 +322,9 @@ def render_training_platform():
             "cos_lr": bool(cos_lr), "close_mosaic": int(close_mosaic),
             "save_period": int(save_period), "project": project, "name": run_name,
             "exist_ok": bool(exist_ok), "resume": bool(resume),
-            "cache": bool(cache), "val": bool(do_val),
+            "cache": {"auto": None, "off": False, "ram": True,
+                      "device": "device"}[cache],
+            "val": bool(do_val),
             "mosaic": float(mosaic), "mixup": float(mixup),
             "scale": float(scale_a), "translate": float(translate),
             "degrees": float(degrees), "shear": float(shear),

@@ -15,8 +15,14 @@ def test_mesh_construction():
     assert mesh.shape == {"data": 8, "model": 1}
     mesh42 = mesh_from_spec("4x2")
     assert mesh42.shape == {"data": 4, "model": 2}
+    # an explicit smaller spec takes the first N devices (device-string
+    # selection parity); only over-subscription raises
+    mesh32 = create_mesh(n_data=3, n_model=2)
+    assert mesh32.shape == {"data": 3, "model": 2}
+    mesh1 = mesh_from_spec("1")
+    assert mesh1.devices.size == 1
     with pytest.raises(ValueError):
-        create_mesh(n_data=3, n_model=2)
+        create_mesh(n_data=5, n_model=2)
 
 
 def test_device_summary():

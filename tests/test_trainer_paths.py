@@ -45,14 +45,17 @@ def test_device_cache_training_matches_streaming(tmp_path):
             amp=False, close_mosaic=0, project=str(tmp_path / "runs"),
             name=name, seed=0, max_boxes=16, warmup_epochs=0.5, workers=2,
             device_augment=True, val=False, cache=cache,
+            device="1",  # cache="device" requires a single-device mesh
         )
         t = Trainer(cfg)
         result = t.train()
         df = pd.read_csv(Path(result["save_dir"]) / "results.csv")
-        return df[["train/box_loss", "train/cls_loss", "train/dfl_loss"]].values
+        return t, df[["train/box_loss", "train/cls_loss", "train/dfl_loss"]].values
 
-    streamed = run("stream", cache=False)
-    cached = run("devcache", cache="device")
+    ts, streamed = run("stream", cache=False)
+    tc, cached = run("devcache", cache="device")
+    assert ts._dev_cache is None
+    assert tc._dev_cache is not None  # the HBM cache was genuinely exercised
     np.testing.assert_allclose(cached, streamed, rtol=1e-4, atol=1e-5)
 
 
