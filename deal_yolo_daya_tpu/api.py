@@ -270,6 +270,15 @@ class YOLO:
         from .ops.decode import decode_predictions
         from .ops.nms import batched_nms
 
+        if use_pallas and jax.default_backend() != "tpu":
+            # the interpret flag inside batched_nms resolves at trace time:
+            # exporting from a CPU process would silently bake the Pallas
+            # INTERPRETER into the artifact instead of the Mosaic kernel
+            raise ValueError(
+                "use_pallas=True requires exporting from a TPU-backed "
+                f"process (current backend: {jax.default_backend()}); "
+                "the portable default (use_pallas=False) works everywhere"
+            )
         self._ensure_built()
         model, imgsz = self._model, self.imgsz
         fused = fuse_conv_bn(jax.device_get(self._variables))

@@ -228,12 +228,14 @@ def overwrite_reference_with_result(result_csv: str, ref_csv: str):
 
 
 def _wh_column(values: np.ndarray):
-    """Width/height array -> CSV-friendly column (ints where integral)."""
-    s = pd.Series(values)
-    finite = s.dropna()
-    if len(finite) and (finite == finite.astype("int64")).all():
-        return s.astype("Int64")
-    return s
+    """Width/height array -> CSV-friendly column. PER-CELL integral check:
+    the reference appends the raw JSON value (int stays int) per row, so one
+    fractional width elsewhere in the file must not turn every '640' into
+    '640.0'."""
+    return pd.Series([
+        None if not np.isfinite(v) else (int(v) if float(v).is_integer() else float(v))
+        for v in values
+    ], dtype=object)
 
 
 def process_csv_replace_ptlist(

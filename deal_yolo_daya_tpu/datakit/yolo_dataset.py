@@ -79,13 +79,21 @@ def _plan_sheet(df_split, source_col, label_col, json_cols, width_col,
     )
     class_ids = labels.map(class_to_id).fillna(-1).astype(int).to_numpy()
 
-    # one scan resolves every row's boxes for its own label
+    # one scan resolves every row's boxes for its own label. Column
+    # fallthrough mirrors the reference's `row.get(primary) or
+    # row.get(fallback)` (processor.py:918): float('nan') is TRUTHY in
+    # Python, so a NaN primary cell CLAIMS its row (and later parse-fails
+    # into a skip) rather than falling back to the next column; only an
+    # empty string falls through.
     cells = pd.Series([None] * n, dtype=object)
+    claimed = np.zeros(n, dtype=bool)
     for col in json_cols:
         if col in df_split.columns:
             vals = df_split[col]
-            fill = cells.isna() & vals.notna() & (vals.astype(str) != "")
-            cells[fill] = vals[fill]
+            usable = (vals.notna() & (vals.astype(str) != "")).to_numpy()
+            take = ~claimed & usable
+            cells[take] = vals[take]
+            claimed |= usable | vals.isna().to_numpy()
     table = columnar.build_table(cells.tolist())
 
     names = np.asarray(table.names, dtype=object)

@@ -46,11 +46,22 @@ def init_distributed(
     )
     if coordinator_address is None and num_processes is None:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as exc:
+        # jax.distributed must run before any JAX computation; a warm process
+        # (prior predict()/device probe) can't join a cluster anymore. Warn
+        # instead of crashing Trainer construction — initialize at process
+        # entry (run.py / the launcher) for real multi-host runs.
+        print(
+            f"多机初始化失败（JAX 已在本进程启动过计算）：{exc}；"
+            "请在进程入口处调用 init_distributed()"
+        )
+        return False
     _distributed_initialized = True
     return True
 

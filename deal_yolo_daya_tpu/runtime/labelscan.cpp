@@ -697,6 +697,13 @@ bool parse_object(Cursor& c, const char* base, ObjOut& o) {
         if (c.eof()) return false;
         o.poly_s = (int32_t)(c.p - base);
         o.flags |= F_HAS_POLY;
+        // Reset polygon/ptList state so a duplicate "polygon" key cleanly
+        // overrides the first (json.loads last-key-wins parity, like the
+        // duplicate-ptList reset in parse_ptlist).
+        o.flags &= ~(F_POLY_IS_OBJ | F_POLY_EMPTY | F_HAS_PTLIST |
+                     F_BBOX_OK | F_TWOPT_OK | F_PTLIST_IS_ARR);
+        o.ptlist_s = o.ptlist_e = -1;
+        o.npts = 0;
         if (*c.p == '{') {
           o.flags |= F_POLY_IS_OBJ;
           ++c.p;

@@ -417,7 +417,10 @@ class Trainer:
             return self._dev_cache
         dl = self.train_loader
         n = len(dl.ds)
-        need = n * (dl.imgsz * dl.imgsz * 3 + dl.max_boxes * 24 + 16)
+        per_img = dl.imgsz * dl.imgsz * 3 + dl.max_boxes * 24 + 16
+        # budget covers the train cache AND the val batches validate() will
+        # pin on device across epochs when this cache is active
+        need = (n + len(self.val_ds)) * per_img
         budget = float(self.cfg.extra.get("cache_budget_gb", 8.0)) * 1e9
         if n == 0 or need > budget:
             print(
@@ -427,11 +430,27 @@ class Trainer:
             self._dev_cache_failed = True
             return None
         t0 = time.time()
-        parts = [[] for _ in range(5)]
+        # preallocate + donated in-place fills: peak HBM stays ~need (a
+        # build-then-concatenate would transiently double it)
+        fill = jax.jit(
+            lambda buf, chunk, start: jax.lax.dynamic_update_slice_in_dim(
+                buf, chunk, start, 0
+            ),
+            donate_argnums=(0,),
+        )
+        parts = None
+        offset = 0
         for chunk in dl.raw_chunks():
-            for lst, arr in zip(parts, jax.device_put(chunk)):
-                lst.append(arr)
-        cache = tuple(jnp.concatenate(ls, axis=0) for ls in parts)
+            dev = jax.device_put(chunk)
+            if parts is None:
+                parts = tuple(
+                    jnp.zeros((n,) + a.shape[1:], a.dtype) for a in dev
+                )
+            parts = tuple(
+                fill(b, a, jnp.int32(offset)) for b, a in zip(parts, dev)
+            )
+            offset += len(chunk[0])
+        cache = parts
         jax.block_until_ready(cache)
         print(
             f"训练集已缓存至 HBM：{n} 张（约 {need / 1e9:.2f} GB，"
@@ -469,7 +488,10 @@ class Trainer:
         # re-run its 0.1 warmup on a converged model.
         # Device arrays are handed to orbax directly: under async_ckpt the
         # D2H fetch happens in the background thread (jax arrays are
-        # immutable, so subsequent train steps can't clobber them).
+        # immutable, so subsequent train steps can't clobber them). Buffer
+        # DONATION breaks that assumption — the next step would delete these
+        # buffers under the background fetch — so donate forces a
+        # synchronous device_get here.
         ckpt = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
@@ -479,6 +501,8 @@ class Trainer:
             "epoch": epoch,
             "fitness": fit,
         }
+        if self.cfg.donate and self.cfg.async_ckpt:
+            ckpt = jax.device_get(ckpt)
         self._checkpointer().save(path, ckpt, force=True)
         self._gc_epoch_checkpoints(current=tag)
 
@@ -762,7 +786,12 @@ class Trainer:
         # the Prefetcher worker overlaps upload of batch i+2 with both.
         # Under cache="device" the staged device args are kept across epochs
         # (val batches are deterministic), so epochs 2+ re-upload nothing.
-        keep_staged = cfg.cache == "device" and self.single_device
+        # Gated on the TRAIN cache having actually been built — if it fell
+        # back (over budget / multi-device), val must not pin HBM either.
+        keep_staged = (
+            cfg.cache == "device" and self.single_device
+            and self._dev_cache is not None
+        )
         if keep_staged and self._val_staged is not None:
             items = self._val_staged
         else:

@@ -99,6 +99,15 @@ def test_stablehlo_export_roundtrip(tmp_path):
     _, _, _, nd_hi = fn(jnp.asarray(imgs), jnp.float32(0.9), jnp.float32(0.7))
     assert int(nd_hi.sum()) <= int(nd.sum())
 
+    # exporting the Mosaic kernel from a non-TPU process must refuse loudly
+    # (it would silently bake the Pallas interpreter into the artifact)
+    import jax as _jax
+    import pytest
+
+    if _jax.default_backend() != "tpu":
+        with pytest.raises(ValueError, match="use_pallas"):
+            model.export_stablehlo(tmp_path / "bad", use_pallas=True)
+
 
 def test_export_and_reload_roundtrip(tmp_path):
     import numpy as np
