@@ -59,34 +59,39 @@ def _bias_labels(params) -> Any:
     )
 
 
-def lr_schedule(cfg: OptimizerConfig, warmup_start: float = 0.0):
+def lr_schedule(cfg: OptimizerConfig, warmup_start: float = 0.0, xp=jnp):
     """Warmup (linear from warmup_start to lr0) then linear/cosine decay.
 
     warmup_start=0 is the weight/BN group; the bias group passes
     cfg.warmup_bias_lr (warms DOWN from 0.1). warmup_epochs <= 0 disables
     warmup entirely (no forced first step at warmup_start).
+
+    ``xp`` selects the array module: jnp (default, traceable inside the
+    optimizer) or numpy for a host-only mirror — per-epoch logging must not
+    issue eager device ops that queue behind the async-checkpoint D2H on
+    the tunnel (PERF.md round 2).
     """
     warmup_steps = int(cfg.warmup_epochs * cfg.steps_per_epoch)
     total_steps = max(cfg.epochs * cfg.steps_per_epoch, warmup_steps + 1)
 
     def decay_at(step):
-        frac = jnp.clip(
-            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0, 1
+        frac = xp.clip(
+            (step - warmup_steps) / xp.maximum(total_steps - warmup_steps, 1), 0, 1
         )
         if cfg.cos_lr:
-            return cfg.lrf + (1 - cfg.lrf) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
+            return cfg.lrf + (1 - cfg.lrf) * 0.5 * (1 + xp.cos(xp.pi * frac))
         return 1.0 - (1.0 - cfg.lrf) * frac
 
     if warmup_steps <= 0:
-        return lambda step: cfg.lr0 * decay_at(jnp.asarray(step, jnp.float32))
+        return lambda step: cfg.lr0 * decay_at(xp.asarray(step, xp.float32))
 
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
-        t = jnp.clip(step / warmup_steps, 0, 1)
+        step = xp.asarray(step, xp.float32)
+        t = xp.clip(step / warmup_steps, 0, 1)
         # interpolate toward the DECAYED value, not plain lr0 (upstream recipe)
         target = cfg.lr0 * decay_at(step)
         warm = warmup_start + (target - warmup_start) * t
-        return jnp.where(step < warmup_steps, warm, target)
+        return xp.where(step < warmup_steps, warm, target)
 
     return schedule
 

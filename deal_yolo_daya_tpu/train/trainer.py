@@ -155,7 +155,6 @@ def bucket_gt(gt_boxes, gt_classes, gt_mask, max_boxes: int, min_bucket: int = 4
 class Trainer:
     def __init__(self, config: TrainConfig, mesh=None):
         self.cfg = config
-        self._ckptr = None
         self._dev_cache = None
         self._val_staged = None
         self.scale = parse_scale(config.model)
@@ -225,6 +224,12 @@ class Trainer:
         self.lr_fn_bias = lr_schedule(
             self.opt_cfg, warmup_start=self.opt_cfg.warmup_bias_lr
         )
+        # numpy mirrors for per-epoch logging: zero device traffic (eager
+        # jnp scheduler evals would queue behind async-ckpt D2H on the tunnel)
+        self.lr_fn_host = lr_schedule(self.opt_cfg, xp=np)
+        self.lr_fn_bias_host = lr_schedule(
+            self.opt_cfg, warmup_start=self.opt_cfg.warmup_bias_lr, xp=np
+        )
 
         self.run = RunDir(config.project, config.name, config.exist_ok)
         self.run.write_args(dataclasses.asdict(config))
@@ -271,6 +276,7 @@ class Trainer:
             step=step0,
         )
         self.start_epoch = 0
+        self._step_host = 0  # host mirror of state.step for logging/ckpt
         if cfg.resume:
             self._try_resume()
 
@@ -464,47 +470,129 @@ class Trainer:
     def _ckpt_dir(self) -> Path:
         return (self.run.path / "weights").resolve()
 
-    def _checkpointer(self):
-        import orbax.checkpoint as ocp
-
-        if self._ckptr is None:
-            handler = ocp.PyTreeCheckpointHandler()
-            self._ckptr = (
-                ocp.AsyncCheckpointer(handler) if self.cfg.async_ckpt
-                else ocp.Checkpointer(handler)
-            )
-        return self._ckptr
-
     def flush_checkpoints(self):
-        """Block until any in-flight async save has committed."""
-        if self._ckptr is not None and hasattr(self._ckptr, "wait_until_finished"):
-            self._ckptr.wait_until_finished()
+        """Block until every queued async save has committed; re-raise the
+        first error if one failed."""
+        q = getattr(self, "_ckpt_q", None)
+        if q is not None:
+            q.join()
+        err = getattr(self, "_ckpt_error", None)
+        if err is not None:
+            self._ckpt_error = None
+            raise err
 
-    def save_checkpoint(self, tag: str, epoch: int, fit: float):
-        path = self._ckpt_dir() / tag
+    def _state_tree(self):
         # opt_state flattened to a leaf list: robust to the optax NamedTuple
         # structure (re-unflattened onto a freshly-built optimizer on resume).
         # Without it, resume restarts schedule counts — the bias group would
         # re-run its 0.1 warmup on a converged model.
-        # Device arrays are handed to orbax directly: under async_ckpt the
-        # D2H fetch happens in the background thread (jax arrays are
-        # immutable, so subsequent train steps can't clobber them). Buffer
-        # DONATION breaks that assumption — the next step would delete these
-        # buffers under the background fetch — so donate forces a
-        # synchronous device_get here.
-        ckpt = {
+        return {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
             "ema_params": self.state.ema_params,
             "opt_leaves": list(jax.tree_util.tree_leaves(self.state.opt_state)),
-            "step": int(self.state.step),
+        }
+
+    def _pack_state(self):
+        """Snapshot the train state as ONE device f32 vector (+ the few
+        non-f32 leaves). A per-leaf device_get of the ~700-leaf tree costs a
+        tunnel RPC each (~6.5 s, GIL-held — it stalls the train loop even
+        from a worker thread); packing is a single dispatch and the fetch
+        becomes one bulk transfer."""
+        tree = self._state_tree()
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        if getattr(self, "_pack_meta", None) is None:
+            f32_idx = [
+                i for i, l in enumerate(leaves) if l.dtype == jnp.float32
+            ]
+            other_idx = [i for i in range(len(leaves)) if i not in set(f32_idx)]
+            meta = [(l.shape, l.dtype) for l in leaves]
+            self._pack_meta = (treedef, meta, f32_idx, other_idx)
+            self._pack_fn = jax.jit(
+                lambda ls: jnp.concatenate([ls[i].ravel() for i in f32_idx])
+                if f32_idx else jnp.zeros((0,), jnp.float32)
+            )
+        treedef, meta, f32_idx, other_idx = self._pack_meta
+        packed = self._pack_fn(leaves)
+        others = [leaves[i] for i in other_idx]
+        return packed, others
+
+    def _unpack_state(self, packed_np, others_np):
+        treedef, meta, f32_idx, other_idx = self._pack_meta
+        leaves = [None] * len(meta)
+        off = 0
+        for i in f32_idx:
+            shape, _ = meta[i]
+            n = int(np.prod(shape)) if shape else 1
+            leaves[i] = packed_np[off:off + n].reshape(shape)
+            off += n
+        for j, i in enumerate(other_idx):
+            leaves[i] = others_np[j]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def save_checkpoint(self, tag: str, epoch: int, fit: float):
+        import threading
+
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir() / tag
+        scalars = {
+            "step": self._step_host,  # host mirror: a device pull here would
+                                      # queue behind the worker's bulk D2H
             "epoch": epoch,
             "fitness": fit,
         }
-        if self.cfg.donate and self.cfg.async_ckpt:
-            ckpt = jax.device_get(ckpt)
-        self._checkpointer().save(path, ckpt, force=True)
-        self._gc_epoch_checkpoints(current=tag)
+        # donate: the next step deletes these buffers, so fetch synchronously.
+        # non-async: plain blocking save.
+        if not self.cfg.async_ckpt or self.cfg.donate:
+            ckpt = {**jax.device_get(self._state_tree()), **scalars}
+            if not self.cfg.async_ckpt:
+                with ocp.PyTreeCheckpointer() as ckptr:
+                    ckptr.save(path, ckpt, force=True)
+                self._gc_epoch_checkpoints(current=tag)
+                return
+            item = (path, ckpt, None)
+        else:
+            packed, others = self._pack_state()
+            item = (path, scalars, (packed, others))
+        # Own worker queue, NOT orbax's AsyncCheckpointer: its save() runs
+        # the device->host fetch synchronously in the caller (only the
+        # filesystem commit is backgrounded). The bounded queue gives
+        # natural backpressure if commits ever fall behind the epoch rate.
+        if getattr(self, "_ckpt_q", None) is None:
+            import queue
+
+            self._ckpt_q = queue.Queue(maxsize=2)
+            self._ckpt_error = None
+
+            def _worker():
+                while True:
+                    p, base, dev = self._ckpt_q.get()
+                    try:
+                        if dev is None:
+                            host = base
+                        else:
+                            packed_d, others_d = dev
+                            packed_h = np.asarray(packed_d)  # ONE bulk D2H
+                            others_h = [np.asarray(o) for o in others_d]
+                            host = {
+                                **self._unpack_state(packed_h, others_h),
+                                **base,
+                            }
+                        with ocp.PyTreeCheckpointer() as ckptr:
+                            ckptr.save(p, host, force=True)
+                        # GC after commit: queue order is chronological, so
+                        # every OLDER epochN is on disk by now (still-queued
+                        # tags are newer and get their own GC pass)
+                        self._gc_epoch_checkpoints()
+                    except BaseException as exc:  # surfaced at next flush
+                        if self._ckpt_error is None:
+                            self._ckpt_error = exc
+                    finally:
+                        self._ckpt_q.task_done()
+
+            threading.Thread(target=_worker, daemon=True).start()
+        self._ckpt_q.put(item)
 
     def _gc_epoch_checkpoints(self, current: str = ""):
         """Keep only the newest cfg.keep_last epochN dirs (last/best stay).
@@ -576,6 +664,7 @@ class Trainer:
             step=jnp.asarray(ckpt["step"], jnp.int32),
         )
         self.start_epoch = int(ckpt.get("epoch", 0)) + 1
+        self._step_host = int(ckpt.get("step", 0))
         print(f"已从 {resume_path} 恢复（epoch {self.start_epoch}）")
 
     # ------------------------------------------------------------------ train
@@ -651,6 +740,7 @@ class Trainer:
                         self.state, loss_acc, *args
                     )
                 n_steps += 1
+                self._step_host += 1
                 if profiling and n_steps >= 1 + cfg.profile_steps:
                     jax.block_until_ready(total)
                     jax.profiler.stop_trace()
@@ -663,7 +753,7 @@ class Trainer:
             if n_steps:
                 for k in losses:
                     losses[k] = float(loss_acc[k]) / n_steps
-            lr_now = float(self.lr_fn(self.state.step))
+            lr_now = float(self.lr_fn_host(self._step_host))
 
             metrics = {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0}
             val_losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
@@ -694,7 +784,7 @@ class Trainer:
                 # pg0/pg1 = weight/BN groups (shared schedule), pg2 = bias
                 # group (warms down from warmup_bias_lr) — ultralytics layout
                 "lr/pg0": lr_now, "lr/pg1": lr_now,
-                "lr/pg2": float(self.lr_fn_bias(self.state.step)),
+                "lr/pg2": float(self.lr_fn_bias_host(self._step_host)),
             })
 
             fit = fitness(metrics)
@@ -761,8 +851,11 @@ class Trainer:
             nonlocal batches_saved
             batch, gtm, det, det_orig, gt_orig, parts = staged
             loss_parts.append(parts)
-            ob, osc, ocl, nd = map(np.asarray, det)
-            pb, gb = np.asarray(det_orig), np.asarray(gt_orig)
+            # ONE device_get for the whole batch's outputs: separate
+            # np.asarray pulls each pay a tunnel round trip
+            (ob, osc, ocl, nd), pb, gb = jax.device_get(
+                (det, det_orig, gt_orig)
+            )
             for i in range(len(batch.images)):
                 n = int(nd[i])
                 m = gtm[i]
