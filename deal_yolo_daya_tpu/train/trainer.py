@@ -380,6 +380,21 @@ class Trainer:
                 lambda ci, chw, cb, cc, cm, idx:
                     (ci[idx], chw[idx], cb[idx], cc[idx], cm[idx])
             )
+        else:
+            # sharded cache: every device gathers its sub-batch from its OWN
+            # row shard with LOCAL indices — no collectives (distributed-
+            # sampler semantics; see _ensure_device_cache)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec
+
+            pd = PartitionSpec("data")
+            self.gather_batch = jax.jit(shard_map(
+                lambda ci, chw, cb, cc, cm, idx:
+                    (ci[idx], chw[idx], cb[idx], cc[idx], cm[idx]),
+                mesh=self.mesh,
+                in_specs=(pd, pd, pd, pd, pd, pd),
+                out_specs=(pd, pd, pd, pd, pd),
+            ))
 
         conf, iou_t, max_det = self.cfg.conf, self.cfg.iou, self.cfg.max_det
 
@@ -418,40 +433,69 @@ class Trainer:
         """Upload the whole train set (raw letterboxed canvases + padded GT)
         to HBM once; returns the cache tuple or None when over budget. Every
         epoch then gathers its batches on device (gather_batch) and the only
-        per-step H2D is a (B,) index vector."""
+        per-step H2D is a (B,) index vector.
+
+        Multi-device DP: rows are sharded over the ``data`` axis (each chip
+        holds N/D images — the cache SCALES with the mesh) and every epoch
+        samples each device's sub-batch from its local shard (distributed-
+        sampler semantics), gathered via shard_map without collectives."""
         if self._dev_cache is not None or self._dev_cache_failed:
             return self._dev_cache
         dl = self.train_loader
         n = len(dl.ds)
+        n_data = self.mesh.shape["data"]
         per_img = dl.imgsz * dl.imgsz * 3 + dl.max_boxes * 24 + 16
-        # budget covers the train cache AND the val batches validate() will
-        # pin on device across epochs when this cache is active
+        # budget is PER-DEVICE HBM; it covers this device's shard of the
+        # train cache AND the val batches validate() pins across epochs
         need = (n + len(self.val_ds)) * per_img
         budget = float(self.cfg.extra.get("cache_budget_gb", 8.0)) * 1e9
-        if n == 0 or need > budget:
+        per_dev_batch = self.cfg.batch // n_data
+        pad_n = -(-n // n_data) * n_data  # shard-aligned row count
+        shard_n = pad_n // n_data
+        # every data shard must be able to supply its sub-batch
+        feasible = min(shard_n, n - (n_data - 1) * shard_n) >= per_dev_batch
+        if n == 0 or need / n_data > budget or not feasible:
             print(
-                f"cache=device 需要约 {need / 1e9:.1f} GB HBM，超出预算 "
-                f"{budget / 1e9:.1f} GB，回退为流式加载"
+                f"cache=device 需要约 {need / n_data / 1e9:.1f} GB/设备 "
+                f"HBM（预算 {budget / 1e9:.1f} GB）"
+                + ("" if feasible else "，且数据分片小于子批次")
+                + "，回退为流式加载"
             )
             self._dev_cache_failed = True
             return None
         t0 = time.time()
+        if self.single_device:
+            row_sh = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            row_sh = NamedSharding(self.mesh, PartitionSpec("data"))
         # preallocate + donated in-place fills: peak HBM stays ~need (a
-        # build-then-concatenate would transiently double it)
+        # build-then-concatenate would transiently double it). Chunks may
+        # straddle shard boundaries; GSPMD masks the update per device.
+        fill_kwargs = {} if row_sh is None else {
+            "in_shardings": (row_sh, None, None), "out_shardings": row_sh,
+        }
         fill = jax.jit(
             lambda buf, chunk, start: jax.lax.dynamic_update_slice_in_dim(
                 buf, chunk, start, 0
             ),
             donate_argnums=(0,),
+            **fill_kwargs,
         )
         parts = None
         offset = 0
         for chunk in dl.raw_chunks():
             dev = jax.device_put(chunk)
             if parts is None:
-                parts = tuple(
-                    jnp.zeros((n,) + a.shape[1:], a.dtype) for a in dev
+                alloc = jax.jit(
+                    lambda: tuple(
+                        jnp.zeros((pad_n,) + a.shape[1:], a.dtype)
+                        for a in dev
+                    ),
+                    **({} if row_sh is None else {"out_shardings": row_sh}),
                 )
+                parts = alloc()
             parts = tuple(
                 fill(b, a, jnp.int32(offset)) for b, a in zip(parts, dev)
             )
@@ -464,6 +508,29 @@ class Trainer:
         )
         self._dev_cache = cache
         return cache
+
+    def _sharded_epoch_indices(self, epoch):
+        """Per-batch LOCAL indices for the sharded cache: device d samples
+        its sub-batch from a per-shard permutation (reseeded each epoch).
+        Yields (B,) arrays laid out shard-contiguously, matching
+        NamedSharding(P('data')) placement."""
+        cfg = self.cfg
+        dl = self.train_loader
+        n = len(dl.ds)
+        n_data = self.mesh.shape["data"]
+        shard_n = -(-n // n_data)
+        per_dev = cfg.batch // n_data
+        orders = []
+        for d in range(n_data):
+            cnt = min(shard_n, n - d * shard_n)
+            rng = np.random.default_rng(cfg.seed + 1000 * epoch + 7919 * d)
+            orders.append(rng.permutation(cnt))
+        for b in range(len(dl)):
+            idx = np.concatenate([
+                orders[d][(np.arange(b * per_dev, (b + 1) * per_dev)) % len(orders[d])]
+                for d in range(n_data)
+            ])
+            yield idx
 
     # ------------------------------------------------------------------ ckpt
 
@@ -687,20 +754,31 @@ class Trainer:
             epoch_t0 = time.time()
             use_device_aug = cfg.device_augment
             use_dev_cache = (
-                cfg.cache == "device" and use_device_aug and self.single_device
+                cfg.cache == "device" and use_device_aug
                 and self._ensure_device_cache() is not None
             )
             if cfg.cache == "device" and not use_dev_cache and epoch == self.start_epoch:
-                print("cache=device 需要 device_augment=True 且单设备，已回退")
+                print("cache=device 需要 device_augment=True，已回退为流式加载")
 
             # H2D upload runs inside the prefetch worker so it overlaps the
             # step loop — through the axon tunnel the raw-image upload is the
             # epoch critical path, not the train step (PERF.md round 2)
             if use_dev_cache:
                 cache = self._dev_cache
+                if self.single_device:
+                    idx_stream = self.train_loader.epoch_indices(epoch)
+                    put_idx = lambda idxs: jnp.asarray(idxs, jnp.int32)
+                else:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    idx_sh = NamedSharding(self.mesh, PartitionSpec("data"))
+                    idx_stream = self._sharded_epoch_indices(epoch)
+                    put_idx = lambda idxs: jax.device_put(
+                        np.asarray(idxs, np.int32), idx_sh
+                    )
                 epoch_iter = (
-                    self.gather_batch(*cache, jnp.asarray(idxs, jnp.int32))
-                    for idxs in self.train_loader.epoch_indices(epoch)
+                    self.gather_batch(*cache, put_idx(idxs))
+                    for idxs in idx_stream
                 )
             elif use_device_aug:
                 transfer = lambda b: jax.device_put(
@@ -881,10 +959,7 @@ class Trainer:
         # (val batches are deterministic), so epochs 2+ re-upload nothing.
         # Gated on the TRAIN cache having actually been built — if it fell
         # back (over budget / multi-device), val must not pin HBM either.
-        keep_staged = (
-            cfg.cache == "device" and self.single_device
-            and self._dev_cache is not None
-        )
+        keep_staged = cfg.cache == "device" and self._dev_cache is not None
         if keep_staged and self._val_staged is not None:
             items = self._val_staged
         else:

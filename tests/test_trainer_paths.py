@@ -59,6 +59,53 @@ def test_device_cache_training_matches_streaming(tmp_path):
     np.testing.assert_allclose(cached, streamed, rtol=1e-4, atol=1e-5)
 
 
+def test_device_cache_sharded_multi_device(tmp_path):
+    """cache='device' on a DP mesh: rows sharded over `data`, per-device
+    local sampling + shard_map gather. Gathered rows must be exactly the
+    host-loaded images for the sampled global indices."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    data_yaml = make_dataset(tmp_path, n_train=16, n_val=4, imgsz=64, nc=2)
+    from deal_yolo_daya_tpu.parallel.mesh import create_mesh
+    from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
+
+    mesh = create_mesh(4, 1)
+    cfg = TrainConfig(
+        model="yolo11n", data=str(data_yaml), epochs=1, imgsz=64, batch=8,
+        amp=False, close_mosaic=0, project=str(tmp_path / "runs"), name="shc",
+        seed=0, max_boxes=16, warmup_epochs=0.5, workers=2,
+        device_augment=True, val=False, cache="device",
+    )
+    trainer = Trainer(cfg, mesh=mesh)
+    assert not trainer.single_device
+    cache = trainer._ensure_device_cache()
+    assert cache is not None
+    # shard layout: row i lives on data-shard i // shard_n
+    n, n_data = 16, 4
+    shard_n = n // n_data
+    idxs = next(iter(trainer._sharded_epoch_indices(0)))
+    assert idxs.shape == (8,)
+    g = trainer.gather_batch(*cache, jax.device_put(
+        np.asarray(idxs, np.int32),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+    ))
+    imgs = np.asarray(g[0])
+    per_dev = 8 // n_data
+    for d in range(n_data):
+        for j in range(per_dev):
+            global_row = d * shard_n + int(idxs[d * per_dev + j])
+            expect = trainer.train_loader.load_raw(global_row)[0]
+            np.testing.assert_array_equal(imgs[d * per_dev + j], expect)
+
+    result = trainer.train()
+    df = pd.read_csv(Path(result["save_dir"]) / "results.csv")
+    assert np.isfinite(df["train/cls_loss"].values).all()
+    assert float(df["train/cls_loss"][0]) > 0
+
+
 def test_trainer_on_multi_device_mesh(tmp_path):
     """Full Trainer over an explicit 4x2 (DP x TP) mesh: TP param placement,
     sharded train/eval steps, checkpointing."""
