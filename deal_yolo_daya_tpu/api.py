@@ -244,7 +244,7 @@ class YOLO:
     def export_stablehlo(
         self,
         out_dir,
-        batch_size: int = 1,
+        batch_size: Optional[int] = None,
         max_det: int = 300,
         use_pallas: bool = False,
     ) -> "Path":
@@ -256,7 +256,10 @@ class YOLO:
         ``YOLO.load_stablehlo`` (or ``jax.export.deserialize`` directly —
         this package is not needed at serving time) and compiles for CPU and
         TPU. conf/iou stay runtime scalars, so a serving frontend can sweep
-        thresholds without re-export. ``use_pallas=True`` embeds the fused
+        thresholds without re-export. batch_size=None (default) exports a
+        SYMBOLIC batch dimension — one artifact serves every batch size
+        (each distinct size compiles once at load). ``use_pallas=True``
+        embeds the fused
         Mosaic NMS kernel and makes the artifact TPU-only; the default uses
         the portable XLA formulation. Replaces the ``model.export()`` serving
         capability the reference delegates to ultralytics (SURVEY §2.2)."""
@@ -292,8 +295,12 @@ class YOLO:
                 pre_topk=1000, max_det=max_det, use_pallas=use_pallas,
             )
 
+        if batch_size is None:
+            (bdim,) = jexport.symbolic_shape("b")
+        else:
+            bdim = batch_size
         args = (
-            jax.ShapeDtypeStruct((batch_size, imgsz, imgsz, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((bdim, imgsz, imgsz, 3), jnp.uint8),
             jax.ShapeDtypeStruct((), jnp.float32),
             jax.ShapeDtypeStruct((), jnp.float32),
         )

@@ -99,6 +99,18 @@ def test_stablehlo_export_roundtrip(tmp_path):
     _, _, _, nd_hi = fn(jnp.asarray(imgs), jnp.float32(0.9), jnp.float32(0.7))
     assert int(nd_hi.sum()) <= int(nd.sum())
 
+    # default export carries a SYMBOLIC batch dim: one artifact, any batch
+    bundle2 = model.export_stablehlo(tmp_path / "shlo_sym", max_det=16)
+    fn2, meta2 = YOLO.load_stablehlo(bundle2)
+    assert meta2["batch_size"] is None
+    for bs in (1, 3):
+        imgs_n = np.random.default_rng(bs).integers(
+            0, 255, (bs, 64, 64, 3), np.uint8
+        )
+        ob_n, _, _, nd_n = fn2(jnp.asarray(imgs_n), jnp.float32(0.001),
+                               jnp.float32(0.7))
+        assert ob_n.shape == (bs, 16, 4)
+
     # exporting the Mosaic kernel from a non-TPU process must refuse loudly
     # (it would silently bake the Pallas interpreter into the artifact)
     import jax as _jax
