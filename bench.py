@@ -72,19 +72,19 @@ def main():
     images = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), np.uint8))
     tok0 = jnp.zeros((), jnp.bfloat16)
 
-    def run_infer(conf, n_iters=30):
-        tok = infer(images, tok0, conf)
+    def run_infer(imgs, conf, n_iters=30):
+        tok = infer(imgs, tok0, conf)
         _ = float(tok)  # compile + settle
         t0 = time.perf_counter()
         tok = tok0
         for _ in range(n_iters):
-            tok = infer(images, tok, conf)
+            tok = infer(imgs, tok, conf)
         _ = float(tok)
         dt = time.perf_counter() - t0
-        return batch * n_iters / dt, dt / n_iters
+        return len(imgs) * n_iters / dt, dt / n_iters
 
-    infer_ips, infer_ms = run_infer(jnp.float32(0.25))
-    stress_ips, stress_ms = run_infer(jnp.float32(0.001))
+    infer_ips, infer_ms = run_infer(images, jnp.float32(0.25))
+    stress_ips, stress_ms = run_infer(images, jnp.float32(0.001))
 
     # serving batch (b128): per-call tunnel latency (~12 ms) dominates b32,
     # hiding ~3x of the chip's real throughput (PERF.md round 2)
@@ -92,14 +92,7 @@ def main():
     images_big = jnp.asarray(
         rng.integers(0, 255, (big, imgsz, imgsz, 3), np.uint8)
     )
-    tok = infer(images_big, tok0, jnp.float32(0.25))
-    _ = float(tok)
-    t0 = time.perf_counter()
-    tok = tok0
-    for _ in range(20):
-        tok = infer(images_big, tok, jnp.float32(0.25))
-    _ = float(tok)
-    big_ips = big * 20 / (time.perf_counter() - t0)
+    big_ips, _ = run_infer(images_big, jnp.float32(0.25), n_iters=20)
 
     # ---------------------------------------------------------------- train
     n_gt = 8
@@ -128,45 +121,36 @@ def main():
         return new_params, new_stats, new_opt, new_ema, new_step, total
 
     step_fn = jax.jit(train_step)
-    gtb = jnp.asarray(
-        np.tile(np.array([[20, 20, 200, 240]], np.float32), (batch, n_gt, 1))
-    )
-    gtc = jnp.zeros((batch, n_gt), jnp.int32)
-    gtm = jnp.ones((batch, n_gt), bool)
-    st = (params, batch_stats, opt.init(params),
-          jax.tree_util.tree_map(jnp.copy, params), jnp.zeros((), jnp.int32))
-    *st, total = step_fn(*st, images, gtb, gtc, gtm)
-    _ = float(total)  # compile + settle
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        *st, total = step_fn(*st, images, gtb, gtc, gtm)
-    _ = float(total)
-    train_dt = time.perf_counter() - t0
-    train_ips = batch * n_iters / train_dt
 
+    def run_train(imgs, n_iters):
+        b = len(imgs)
+        gtb = jnp.asarray(
+            np.tile(np.array([[20, 20, 200, 240]], np.float32), (b, n_gt, 1))
+        )
+        gtc = jnp.zeros((b, n_gt), jnp.int32)
+        gtm = jnp.ones((b, n_gt), bool)
+        st = (params, batch_stats, opt.init(params),
+              jax.tree_util.tree_map(jnp.copy, params),
+              jnp.zeros((), jnp.int32))
+        *st, total = step_fn(*st, imgs, gtb, gtc, gtm)
+        _ = float(total)  # compile + settle
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            *st, total = step_fn(*st, imgs, gtb, gtc, gtm)
+        _ = float(total)
+        dt = time.perf_counter() - t0
+        return b * n_iters / dt, dt / n_iters
+
+    train_ips, train_step_s = run_train(images, 20)
     # serving-batch train step (same latency-amortization as inference)
-    gtb_b = jnp.asarray(
-        np.tile(np.array([[20, 20, 200, 240]], np.float32), (big, n_gt, 1))
-    )
-    gtc_b = jnp.zeros((big, n_gt), jnp.int32)
-    gtm_b = jnp.ones((big, n_gt), bool)
-    st = (params, batch_stats, opt.init(params),
-          jax.tree_util.tree_map(jnp.copy, params), jnp.zeros((), jnp.int32))
-    *st, total = step_fn(*st, images_big, gtb_b, gtc_b, gtm_b)
-    _ = float(total)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        *st, total = step_fn(*st, images_big, gtb_b, gtc_b, gtm_b)
-    _ = float(total)
-    train_big_ips = big * 10 / (time.perf_counter() - t0)
+    train_big_ips, _ = run_train(images_big, 10)
 
     print(
         f"[bench] yolo11n @640 bf16 on {jax.devices()[0].device_kind}: "
         f"infer b{batch} {infer_ips:.1f} img/s ({infer_ms * 1e3:.2f} ms/batch), "
         f"b{big} {big_ips:.1f} img/s, "
         f"NMS-stress {stress_ips:.1f} img/s ({stress_ms * 1e3:.2f} ms/batch), "
-        f"train {train_ips:.1f} img/s ({train_dt / n_iters * 1e3:.2f} ms/step)",
+        f"train {train_ips:.1f} img/s ({train_step_s * 1e3:.2f} ms/step)",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -178,7 +162,7 @@ def main():
         "infer_b32_images_per_sec": round(infer_ips, 1),
         "nms_stress_images_per_sec": round(stress_ips, 1),
         "train_images_per_sec": round(train_ips, 1),
-        "train_ms_per_step_b32": round(train_dt / n_iters * 1e3, 2),
+        "train_ms_per_step_b32": round(train_step_s * 1e3, 2),
         "train_b128_images_per_sec": round(train_big_ips, 1),
     }))
 

@@ -296,6 +296,13 @@ class YOLO:
             )
 
         if batch_size is None:
+            if use_pallas:
+                # vmapped pallas_call needs a concrete grid: a symbolic batch
+                # dim dies in lowering with a bare AssertionError
+                raise ValueError(
+                    "use_pallas=True requires a concrete batch_size "
+                    "(the Mosaic NMS kernel's grid cannot be symbolic)"
+                )
             (bdim,) = jexport.symbolic_shape("b")
         else:
             bdim = batch_size

@@ -540,6 +540,9 @@ class Trainer:
     def flush_checkpoints(self):
         """Block until every queued async save has committed; re-raise the
         first error if one failed."""
+        mh = getattr(self, "_mh_ckptr", None)
+        if mh is not None and hasattr(mh, "wait_until_finished"):
+            mh.wait_until_finished()
         q = getattr(self, "_ckpt_q", None)
         if q is not None:
             q.join()
@@ -609,6 +612,22 @@ class Trainer:
             "epoch": epoch,
             "fitness": fit,
         }
+        # Multi-host: the pack/host-fetch worker below needs fully-addressable
+        # arrays; hand device arrays to orbax's distributed-aware async saver
+        # instead (its synchronous D2H fetch is the price of cross-host
+        # coordination).
+        if jax.process_count() > 1:
+            if getattr(self, "_mh_ckptr", None) is None:
+                self._mh_ckptr = (
+                    ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+                    if self.cfg.async_ckpt
+                    else ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+                )
+            self._mh_ckptr.save(
+                path, {**self._state_tree(), **scalars}, force=True
+            )
+            self._gc_epoch_checkpoints(current=tag)
+            return
         # donate: the next step deletes these buffers, so fetch synchronously.
         # non-async: plain blocking save.
         if not self.cfg.async_ckpt or self.cfg.donate:
@@ -758,7 +777,10 @@ class Trainer:
                 and self._ensure_device_cache() is not None
             )
             if cfg.cache == "device" and not use_dev_cache and epoch == self.start_epoch:
-                print("cache=device 需要 device_augment=True，已回退为流式加载")
+                if not use_device_aug:
+                    print("cache=device 需要 device_augment=True，已回退为流式加载")
+                # else: _ensure_device_cache already printed the budget/shard
+                # fallback reason
 
             # H2D upload runs inside the prefetch worker so it overlaps the
             # step loop — through the axon tunnel the raw-image upload is the
