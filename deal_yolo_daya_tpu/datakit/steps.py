@@ -342,6 +342,12 @@ def filter_by_box_count_and_iou(
         saturated = np.flatnonzero(np.asarray([len(b) for b in box_lists]) > M_CAP)
         box_lists = [b[:M_CAP] for b in box_lists]
         packed, mask = boxops.pack_boxes(box_lists, max_boxes=M_CAP)
+    # trim to the table's ACTUAL max box count: the (rows, M, M) IoU work
+    # scales with M^2, and typical annotation data has 1-8 boxes — padding
+    # every row to the 64-wide cap cost 50-250x (bench_datakit round 2)
+    m_used = int(mask.sum(axis=1).max()) if len(rows) else 0
+    m_used = max(m_used, 1)
+    packed, mask = packed[:, :m_used], mask[:, :m_used]
     hits = boxops.high_iou_hits(packed, mask, min_boxes=min_boxes, iou_threshold=iou_threshold)
     for i in saturated:
         full = extract_two_point_boxes(rows[int(i)])
@@ -377,6 +383,21 @@ def _read_label_map(mapping_excel_path, sheet_name, old_col, new_col) -> dict:
         & (olds.str.lower() != "nan") & (news.str.lower() != "nan")
     )
     return dict(zip(olds[valid], news[valid]))
+
+
+def _group_join(keys_sorted: np.ndarray, values: np.ndarray, sep: str) -> list:
+    """Join `values` per contiguous run of `keys_sorted` (keys must be
+    sorted). A plain boundary scan: pandas' groupby with a Python ``join``
+    agg slices a Series per group — the dominant cost of step 6 at 150k+
+    tiny groups (bench_datakit round 2)."""
+    n = len(keys_sorted)
+    if n == 0:
+        return []
+    bounds = np.flatnonzero(keys_sorted[1:] != keys_sorted[:-1]) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [n]])
+    vals = values.tolist()
+    return [sep.join(vals[s:e]) for s, e in zip(starts, ends)]
 
 
 def _token_frame(table: columnar.AnnTable) -> pd.DataFrame:
@@ -454,7 +475,11 @@ def replace_labels_by_mapping(
                 .drop_duplicates()
                 .sort_values(["obj", "tok"])
             )
-            new_names = uniq.groupby("obj")["tok"].agg(",".join)
+            new_names = pd.Series(
+                _group_join(uniq["obj"].to_numpy(),
+                            uniq["tok"].to_numpy(dtype=object), ","),
+                index=np.unique(uniq["obj"].to_numpy()),
+            )
             replaced_per_obj = pd.Series(in_map, index=tf["obj"].to_numpy()).groupby(level=0).sum()
         else:
             new_names = pd.Series(dtype=object)
@@ -476,21 +501,24 @@ def replace_labels_by_mapping(
         totals["replaced_objects"] += int(do_rename.sum())
 
         rename_vec: list = [None] * table.m
-        for obj in named_objs[do_rename.to_numpy()]:
-            rename_vec[obj] = full_new[obj]
+        renamed_objs = named_objs[do_rename.to_numpy()]
+        for obj, val in zip(renamed_objs,
+                            full_new.loc[renamed_objs].to_numpy(dtype=object)):
+            rename_vec[obj] = val
         rewritten = columnar.apply_renames(table, rename_vec)
 
-        changed_rows = {
-            int(table.obj_row[o])
-            for o in named_objs[do_rename.to_numpy()]
-        }
-        rows_with_replacement[list(changed_rows)] = True
+        rows_with_replacement[
+            np.unique(table.obj_row[renamed_objs])
+        ] = True
 
-        new_cells = cells.copy()
+        # write back through a plain object ndarray: per-cell .iat writes on
+        # an Arrow-backed column copy the whole column each time (O(n^2) —
+        # 19 s of 33 s at 20k rows, bench_datakit round 2)
+        vals = cells.to_numpy(dtype=object, copy=True)
         for i, text in enumerate(rewritten):
             if text is not None:
-                new_cells.iat[i] = text
-        df[col] = new_cells
+                vals[i] = text
+        df[col] = vals
 
         # diff rows: any object whose display name changed (even reorder-only)
         diff_mask = (raw_names.to_numpy() != full_new.to_numpy())
@@ -500,17 +528,25 @@ def replace_labels_by_mapping(
                 "before": raw_names.to_numpy()[diff_mask],
                 "after": full_new.to_numpy()[diff_mask],
             })
-            dd["row"] = table.obj_row[dd["obj"].to_numpy()]
-            for row, grp in dd.groupby("row", sort=True):
-                diff_records.append((
-                    int(row), col_order,
-                    "；".join(grp["before"]), "；".join(grp["after"]),
-                ))
+            rows_of = table.obj_row[dd["obj"].to_numpy()]
+            order = np.argsort(rows_of, kind="stable")
+            rows_sorted = rows_of[order]
+            befores = _group_join(
+                rows_sorted, dd["before"].to_numpy(dtype=object)[order], "；"
+            )
+            afters = _group_join(
+                rows_sorted, dd["after"].to_numpy(dtype=object)[order], "；"
+            )
+            diff_records.extend(
+                (int(row), col_order, b, a)
+                for row, b, a in zip(np.unique(rows_sorted), befores, afters)
+            )
 
     diff_records.sort()
-    diff_rows = [
+    sources_np = sources.to_numpy(dtype=object)  # per-row .iloc on an Arrow
+    diff_rows = [                                # column costs a chunk walk
         {
-            "source": sources.iloc[row], "column": present_cols[c],
+            "source": sources_np[row], "column": present_cols[c],
             "before": before, "after": after,
         }
         for row, c, before, after in diff_records
