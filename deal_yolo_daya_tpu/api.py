@@ -146,7 +146,9 @@ class YOLO:
         conf: float = 0.25,
         iou: float = 0.7,
         max_det: int = 300,
-        batch_size: int = 16,
+        batch_size: int = 64,  # larger batches amortize per-call latency
+                               # (b128 is 3x b32 through the axon tunnel —
+                               # PERF.md round 2); short batches are padded
     ) -> List[Detections]:
         import jax
         import jax.numpy as jnp
