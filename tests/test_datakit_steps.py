@@ -342,6 +342,48 @@ def _make_image(path, w=64, h=48):
     Image.new("RGB", (w, h), (120, 30, 200)).save(path)
 
 
+def test_yolo_gen_nan_primary_claims_row(tmp_path):
+    """Reference parity (processor.py:918 `row.get(primary) or
+    row.get(fallback)`): float NaN is TRUTHY, so an empty-cell (NaN) primary
+    column CLAIMS its row and the row is skipped — it must NOT fall back to
+    the original label column. An empty-string primary DOES fall back."""
+    import numpy as np
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    imgs = []
+    for i in range(3):
+        p = img_dir / f"im{i}.jpg"
+        _make_image(p)
+        imgs.append(str(p))
+    fallback_cell = label_json([("猫", [(4, 4), (32, 24)])], width=64, height=48)
+    rows = [
+        # row 0: normal primary — processed
+        {"source": imgs[0], "分类标签": "猫",
+         NJCOL: fallback_cell, JCOL: fallback_cell},
+        # row 1: NaN primary + valid fallback — must be SKIPPED (NaN claims)
+        {"source": imgs[1], "分类标签": "猫",
+         NJCOL: np.nan, JCOL: fallback_cell},
+        # row 2: empty-string primary — falls back, processed
+        {"source": imgs[2], "分类标签": "猫",
+         NJCOL: "", JCOL: fallback_cell},
+    ]
+    excel = tmp_path / "cats.xlsx"
+    xlsx.write_workbook(excel, {"train": pd.DataFrame(rows)})
+    result = generate_yolo_datasets_from_excels(
+        [str(excel)], str(tmp_path / "yolo")
+    )
+    # reference semantics: every row counts as processed; the NaN-primary
+    # row lands in the skipped audit (无匹配标签框) and writes no label file
+    assert result["total"] == 3 and result["processed"] == 3
+    ds = result["datasets"][0]
+    labels = sorted(p.name for p in (ds / "labels" / "train").glob("*.txt"))
+    assert len(labels) == 2
+    assert all("im1" not in name for name in labels)
+    audit = xlsx.read_workbook(result["skipped"], 0)
+    assert len(audit) == 1 and audit.iloc[0]["reason"] == "无匹配标签框"
+
+
 def test_generate_yolo_datasets(tmp_path):
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
