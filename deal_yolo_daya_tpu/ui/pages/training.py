@@ -302,7 +302,11 @@ def render_training_platform():
 
     advanced = st.text_area(
         "高级覆盖参数（key=value 每行一个）", key="train_advanced", height=100,
-        help="如 lr0=0.01 或 mosaic=0.5；JSON/bool/none/数值自动解析",
+        help="如 lr0=0.01 或 mosaic=0.5；JSON/bool/none/数值自动解析。"
+             "仅此处可达的键：async_ckpt、keep_last、max_boxes、"
+             "device_augment、donate、profile_steps、cache_budget_gb、"
+             "conf、iou、max_det、warmup_epochs、lr0、lrf、momentum、"
+             "weight_decay",
     )
     env_text = st.text_input("环境变量（KEY=VALUE，分号分隔）", key="train_env")
 
