@@ -88,6 +88,7 @@ class YOLO:
             self._model, self._variables = build_yolo11(
                 self.scale, nc=self.nc, imgsz=self.imgsz, dtype=jnp.bfloat16
             )
+            self._infer_jit = None  # compiled against the old model/imgsz
 
     def load(self, ckpt_path) -> "YOLO":
         """Load weights from an orbax checkpoint dir saved by the trainer."""
@@ -172,14 +173,25 @@ class YOLO:
         else:
             sources = list(source)
 
-        @jax.jit
+        # the jitted program is cached on the instance: a fresh closure per
+        # predict() call would retrace + reload the executable every time
+        # (conf/iou ride as traced scalars, so threshold sweeps reuse it;
+        # max_det is static — a new value compiles once)
+        if getattr(self, "_infer_jit", None) is None:
+            def _infer(variables, images, conf_t, iou_t, max_det):
+                x = images.astype(jnp.bfloat16) / 255.0
+                box, cls = self._model.apply(variables, x, train=False)
+                boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
+                return batched_nms(
+                    boxes, scores, conf_thres=conf_t, iou_thres=iou_t,
+                    pre_topk=1000, max_det=max_det,
+                )
+            self._infer_jit = jax.jit(_infer, static_argnames=("max_det",))
+
         def infer(images):
-            x = images.astype(jnp.bfloat16) / 255.0
-            box, cls = model.apply(variables, x, train=False)
-            boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
-            return batched_nms(
-                boxes, scores, conf_thres=conf, iou_thres=iou,
-                pre_topk=1000, max_det=max_det,
+            return self._infer_jit(
+                variables, images, jnp.float32(conf), jnp.float32(iou),
+                max_det=max_det,
             )
 
         results: List[Detections] = []
