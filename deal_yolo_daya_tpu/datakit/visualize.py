@@ -59,6 +59,41 @@ def _draw_annotation_boxes(json_str, color, draw, font):
             continue
 
 
+def _workdirs(output_dir, download_dir, result_dir):
+    base = Path(output_dir or os.getcwd())
+    made = {
+        "download": Path(download_dir) if download_dir else base / "downloaded_images",
+        "result": Path(result_dir) if result_dir else base / "annotated_images",
+    }
+    for d in made.values():
+        d.mkdir(parents=True, exist_ok=True)
+    return made
+
+
+def _render_row(row, idx, dirs, font, timeout) -> bool:
+    """Draw one row's original (red) + converted (green) annotations.
+
+    Cache-key rules match the prefetch (query strings stripped); retries the
+    download if the warm-up missed this row. Returns success.
+    """
+    from .download import ensure_image_cached
+
+    src = str(row["source"])
+    local_path = ensure_image_cached(src, dirs["download"], timeout=timeout)
+    if local_path is None or not Path(local_path).exists():
+        return False
+    out_name = src.rsplit("/", 1)[-1] if "/" in src else f"image_{idx}.jpg"
+    try:
+        with Image.open(local_path) as img:
+            draw = ImageDraw.Draw(img)
+            _draw_annotation_boxes(row[LABEL_JSON_COL], (255, 0, 0), draw, font)
+            _draw_annotation_boxes(row[NEW_LABEL_JSON_COL], (0, 255, 0), draw, font)
+            img.save(dirs["result"] / out_name)
+        return True
+    except Exception:
+        return False
+
+
 def download_and_draw_annotations(
     input_csv_path,
     output_dir: Optional[str] = None,
@@ -67,58 +102,30 @@ def download_and_draw_annotations(
     max_images: Optional[int] = None,
     timeout: int = 15,
 ):
-    base_dir = Path(output_dir) if output_dir else Path(os.getcwd())
-    download_dir = Path(download_dir) if download_dir else (base_dir / "downloaded_images")
-    result_dir = Path(result_dir) if result_dir else (base_dir / "annotated_images")
-    download_dir.mkdir(parents=True, exist_ok=True)
-    result_dir.mkdir(parents=True, exist_ok=True)
+    dirs = _workdirs(output_dir, download_dir, result_dir)
 
     try:
         df = pd.read_csv(input_csv_path, encoding="utf-8-sig")
     except Exception as e:
         print(f"读取CSV失败：{e}")
         return
-
-    required_cols = ["source", LABEL_JSON_COL, NEW_LABEL_JSON_COL]
-    if any(col not in df.columns for col in required_cols):
+    if not {"source", LABEL_JSON_COL, NEW_LABEL_JSON_COL}.issubset(df.columns):
         print("CSV缺少必要列")
         return
 
-    font = _get_font()
     rows = df if max_images is None else df.head(max_images)
 
     # Concurrent download warm-up (the reference downloads serially per row).
-    sources = [str(s) for s in rows["source"].dropna().tolist()]
-    prefetch_images(sources, download_dir, timeout=timeout)
+    prefetch_images(
+        [str(s) for s in rows["source"].dropna()], dirs["download"], timeout=timeout
+    )
 
-    from .download import ensure_image_cached
-
-    success_count = 0
-    fail_count = 0
+    font = _get_font()
+    counts = {True: 0, False: 0}
     for idx, row in df.iterrows():
-        if max_images is not None and success_count + fail_count >= max_images:
+        if max_images is not None and counts[True] + counts[False] >= max_images:
             break
-        source_url = row["source"]
-        img_filename = (
-            str(source_url).split("/")[-1] if "/" in str(source_url) else f"image_{idx}.jpg"
-        )
-        result_path = result_dir / img_filename
+        counts[_render_row(row, idx, dirs, font, timeout)] += 1
 
-        # same cache-key rules as the prefetch (query strings stripped);
-        # also retries the download if the warm-up missed this row
-        local_path = ensure_image_cached(str(source_url), download_dir, timeout=timeout)
-        if local_path is None or not Path(local_path).exists():
-            fail_count += 1
-            continue
-        try:
-            with Image.open(local_path) as img:
-                draw = ImageDraw.Draw(img)
-                _draw_annotation_boxes(row[LABEL_JSON_COL], (255, 0, 0), draw, font)
-                _draw_annotation_boxes(row[NEW_LABEL_JSON_COL], (0, 255, 0), draw, font)
-                img.save(result_path)
-            success_count += 1
-        except Exception:
-            fail_count += 1
-
-    print(f"可视化完成：成功 {success_count} 张，失败 {fail_count} 张")
-    return {"success": success_count, "fail": fail_count, "result_dir": result_dir}
+    print(f"可视化完成：成功 {counts[True]} 张，失败 {counts[False]} 张")
+    return {"success": counts[True], "fail": counts[False], "result_dir": dirs["result"]}

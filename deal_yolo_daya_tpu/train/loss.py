@@ -32,6 +32,14 @@ class LossConfig(NamedTuple):
     tal_topk: int = 10
     tal_alpha: float = 0.5
     tal_beta: float = 6.0
+    # ultralytics' v8DetectionLoss returns `loss.sum() * batch_size`, so its
+    # gradient magnitude grows with batch size and lr0=0.01-style configs are
+    # tuned against that. Our default keeps the total normalized by the
+    # target-score sum only (batch-size invariant — better-behaved under DP
+    # where the psum'd grad is already a global mean). Set batch_scale=True
+    # to reproduce the ultralytics scale when transferring hyperparameters
+    # 1:1 (docs/PARITY.md "Loss scale semantics").
+    batch_scale: bool = False
 
 
 def select_candidates_in_gts(
@@ -230,6 +238,8 @@ def detection_loss(
         + config.cls_gain * cls_loss
         + config.dfl_gain * dfl_loss
     )
+    if config.batch_scale:
+        total = total * pd_scores.shape[0]
     return total, {
         "box_loss": box_loss,
         "cls_loss": cls_loss,

@@ -106,6 +106,10 @@ class TrainConfig:
     # capture a jax.profiler trace of the first N steps of epoch 0 into
     # <run_dir>/profile (open with TensorBoard / xprof); 0 = off
     profile_steps: int = 0
+    # True reproduces ultralytics' `loss * batch_size` total-loss scale
+    # (v8DetectionLoss) for 1:1 hyperparameter transfer; default keeps the
+    # batch-invariant normalization (docs/PARITY.md "Loss scale semantics")
+    loss_batch_scale: bool = False
     # non-blocking orbax saves: device->host fetch and the filesystem commit
     # run in a background thread while training continues (orbax serializes
     # consecutive saves itself); flushed before train() returns
@@ -211,7 +215,11 @@ class Trainer:
         )
 
         self.loss_cfg = LossConfig(
-            nc=self.nc, box_gain=config.box, cls_gain=config.cls, dfl_gain=config.dfl
+            nc=self.nc,
+            box_gain=config.box,
+            cls_gain=config.cls,
+            dfl_gain=config.dfl,
+            batch_scale=config.loss_batch_scale,
         )
         steps_per_epoch = max(len(self.train_loader), 1)
         self.opt_cfg = OptimizerConfig(

@@ -134,37 +134,59 @@ def collect_image_files(dir_path, max_images: int = 24, shuffle: bool = True, re
     return files[:max_images]
 
 
-def get_dir_stats(path: Path, recursive: bool = False, max_files: int = 5000, max_depth: int = 6) -> Dict:
-    path = Path(path)
-    if not path.is_dir():
-        return {"files": 0, "dirs": 0, "bytes": 0, "truncated": False}
-    total_bytes = files = dirs = 0
-    if not recursive:
-        for item in path.iterdir():
-            if item.is_dir():
-                dirs += 1
-            elif item.is_file():
-                files += 1
-                try:
-                    total_bytes += item.stat().st_size
-                except Exception:
-                    pass
-        return {"files": files, "dirs": dirs, "bytes": total_bytes, "truncated": False}
-    base_depth = len(path.parts)
-    for root, dirnames, filenames in os.walk(path):
-        if len(Path(root).parts) - base_depth > max_depth:
-            dirnames[:] = []
-            continue
-        dirs += len(dirnames)
-        for name in filenames:
-            files += 1
-            if files > max_files:
-                return {"files": files, "dirs": dirs, "bytes": total_bytes, "truncated": True}
+def _scan_entries(dir_path: str):
+    """Yield (entry, is_dir) for one directory level via os.scandir.
+
+    Broken symlinks / permission errors degrade to an empty level; type
+    probes that fail are skipped, matching the tolerant UI-browser contract
+    (behavior parity with the reference browser: core/utils.py:366-403).
+    """
+    try:
+        it = os.scandir(dir_path)
+    except OSError:
+        return
+    with it:
+        for entry in it:
             try:
-                total_bytes += (Path(root) / name).stat().st_size
-            except Exception:
-                pass
-    return {"files": files, "dirs": dirs, "bytes": total_bytes, "truncated": False}
+                yield entry, entry.is_dir(follow_symlinks=False)
+            except OSError:
+                continue
+
+
+def get_dir_stats(path: Path, recursive: bool = False, max_files: int = 5000, max_depth: int = 6) -> Dict:
+    """Aggregate file/dir/byte counts under ``path`` (breadth-first scandir).
+
+    ``recursive=False`` looks one level deep; otherwise levels are visited
+    breadth-first down to ``max_depth``, stopping early (``truncated``) once
+    the file count exceeds ``max_files``.
+    """
+    stats = {"files": 0, "dirs": 0, "bytes": 0, "truncated": False}
+    root = Path(path)
+    if not root.is_dir():
+        return stats
+    frontier = [str(root)]
+    levels_left = 1 if not recursive else max_depth + 1
+    while frontier and levels_left > 0:
+        levels_left -= 1
+        next_frontier: List[str] = []
+        for dir_path in frontier:
+            for entry, is_dir in _scan_entries(dir_path):
+                if is_dir:
+                    stats["dirs"] += 1
+                    next_frontier.append(entry.path)
+                    continue
+                if not entry.is_file(follow_symlinks=False):
+                    continue
+                stats["files"] += 1
+                if recursive and stats["files"] > max_files:
+                    stats["truncated"] = True
+                    return stats
+                try:
+                    stats["bytes"] += entry.stat().st_size
+                except OSError:
+                    pass
+        frontier = next_frontier
+    return stats
 
 
 def list_image_files_for_preview(path_str: str, recursive: bool, max_files: int) -> List[Dict]:
@@ -215,26 +237,32 @@ def get_immediate_children_sizes(path: Path, max_items: int = 10) -> Tuple[List,
     return dir_sizes[:max_items], file_sizes[:max_items]
 
 
+def _sorted_subdirs(dir_path: str, include_hidden: bool) -> List[str]:
+    names = [
+        entry.path for entry, is_dir in _scan_entries(dir_path)
+        if is_dir and (include_hidden or not entry.name.startswith("."))
+    ]
+    names.sort(key=lambda p: os.path.basename(p).lower())
+    return names
+
+
 def collect_dir_paths(root: Path, include_hidden: bool, max_depth: int, max_nodes: int) -> List[str]:
+    """Pre-order listing of subdirectory paths, capped by depth and count.
+
+    Iterative: a LIFO stack of (path, depth) seeded with the root's children;
+    pushing each node's children in reverse-sorted order yields the same
+    name-sorted pre-order a recursive walk would produce.
+    """
     paths: List[str] = []
-
-    def _walk(path: Path, depth: int):
-        if depth > max_depth or len(paths) >= max_nodes:
-            return
-        try:
-            children = [
-                p for p in path.iterdir()
-                if p.is_dir() and (include_hidden or not p.name.startswith("."))
-            ]
-        except Exception:
-            return
-        for child in sorted(children, key=lambda x: x.name.lower()):
-            if len(paths) >= max_nodes:
-                break
-            paths.append(str(child))
-            _walk(child, depth + 1)
-
-    _walk(Path(root), 1)
+    stack = [(p, 1) for p in reversed(_sorted_subdirs(str(root), include_hidden))]
+    while stack and len(paths) < max_nodes:
+        dir_path, depth = stack.pop()
+        paths.append(dir_path)
+        if depth < max_depth:
+            stack.extend(
+                (p, depth + 1)
+                for p in reversed(_sorted_subdirs(dir_path, include_hidden))
+            )
     return paths
 
 
@@ -256,20 +284,31 @@ def get_path_suggestions(current_value: str, include_hidden: bool = False, max_i
 
 
 def search_directories(root: Path, query: str, include_hidden: bool, max_results: int = 60) -> List[Path]:
+    """Case-insensitive substring search over directory names under ``root``.
+
+    Breadth-first scandir traversal (shallow matches surface first), stopping
+    at ``max_results``.
+    """
     root = Path(root)
     if not root.exists() or not query:
         return []
-    query_lower = query.lower()
+    needle = query.lower()
     results: List[Path] = []
-    for path in root.rglob("*"):
-        if not path.is_dir():
-            continue
-        if not include_hidden and path.name.startswith("."):
-            continue
-        if query_lower in path.name.lower():
-            results.append(path)
-            if len(results) >= max_results:
-                break
+    frontier = [str(root)]
+    while frontier and len(results) < max_results:
+        level: List[str] = []
+        for dir_path in frontier:
+            for entry, is_dir in _scan_entries(dir_path):
+                if not is_dir:
+                    continue
+                if not include_hidden and entry.name.startswith("."):
+                    continue
+                level.append(entry.path)
+                if needle in entry.name.lower():
+                    results.append(Path(entry.path))
+                    if len(results) >= max_results:
+                        return results
+        frontier = level
     return results
 
 

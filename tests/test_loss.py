@@ -127,3 +127,44 @@ def test_loss_jits():
     v2 = detection_loss(box, cls, gt_labels, gt_boxes, gt_mask, IMGSZ, LossConfig(nc=NC))[0]
     # bf16 assignment metrics reassociate under jit -> small drift allowed
     np.testing.assert_allclose(v1, v2, rtol=1e-3)
+
+
+def test_loss_batch_scale_semantics():
+    """Pin the total-loss scale contract (docs/PARITY.md "Loss scale semantics").
+
+    Default: duplicating every scene in the batch leaves the total invariant
+    (per-scene normalization by target-score sum). batch_scale=True follows
+    ultralytics v8DetectionLoss (`loss.sum() * batch_size`): the total is the
+    default total times the batch size, so it doubles when the batch doubles.
+    """
+    box, cls = _fake_levels(b=2)
+    gt_labels = jnp.asarray([[1, 2], [0, 0]])
+    gt_boxes = jnp.asarray(
+        [[[4, 4, 30, 30], [32, 32, 60, 60]], [[10, 10, 50, 50], [0, 0, 0, 0]]],
+        jnp.float32,
+    )
+    gt_mask = jnp.asarray([[True, True], [True, False]])
+
+    def run(b, c, labels, boxes, mask, cfg):
+        return float(detection_loss(b, c, labels, boxes, mask, IMGSZ, cfg)[0])
+
+    plain = LossConfig(nc=NC)
+    scaled = LossConfig(nc=NC, batch_scale=True)
+    base = run(box, cls, gt_labels, gt_boxes, gt_mask, plain)
+
+    # ultralytics semantics = batch-invariant total * batch_size
+    assert run(box, cls, gt_labels, gt_boxes, gt_mask, scaled) == pytest.approx(
+        base * 2, rel=1e-6
+    )
+
+    dup = lambda x: jnp.concatenate([x, x], axis=0)
+    box2, cls2 = [dup(x) for x in box], [dup(x) for x in cls]
+    labels2, boxes2, mask2 = dup(gt_labels), dup(gt_boxes), dup(gt_mask)
+
+    # default: batch-size invariant; ultralytics: scales with batch size
+    assert run(box2, cls2, labels2, boxes2, mask2, plain) == pytest.approx(
+        base, rel=1e-5
+    )
+    assert run(box2, cls2, labels2, boxes2, mask2, scaled) == pytest.approx(
+        base * 4, rel=1e-5
+    )
