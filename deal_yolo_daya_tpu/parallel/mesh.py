@@ -46,6 +46,16 @@ def init_distributed(
     )
     if coordinator_address is None and num_processes is None:
         return False
+    if (num_processes or 0) > 1:
+        # A multi-process CPU cluster (the test/dev substrate for TPU-pod
+        # topologies) needs a CPU collectives backend or every cross-process
+        # collective fails at client creation; gloo ships with jaxlib. No-op
+        # for the TPU path, which has its own ICI/DCN collectives.
+        try:
+            if "cpu" in (jax.config.read("jax_platforms") or "cpu"):
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -136,10 +146,16 @@ def create_hybrid_mesh(
     if n_proc > 1:
         from jax.experimental import mesh_utils
 
+        # granule = the island of fast connectivity: TPU pod slices when the
+        # topology exposes n_dcn of them, otherwise the process (CPU clusters
+        # report slice_index 0 everywhere; single-slice pods have 1 slice but
+        # many hosts)
+        n_slices = len({getattr(d, "slice_index", 0) for d in devices})
         arr = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(n_data, n_model),
             dcn_mesh_shape=(n_dcn, 1),
             devices=devices,
+            process_is_granule=(n_slices != n_dcn),
         )  # (n_dcn * n_data, n_model)
     else:
         arr = np.asarray(devices).reshape(n_dcn * n_data, n_model)

@@ -30,6 +30,10 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test (cluster spawn etc.)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
