@@ -96,18 +96,27 @@ def task_aligned_assign(
     mask_in_gts = select_candidates_in_gts(anchor_xy, gt_bboxes)
     candidate_metric = jnp.where(mask_in_gts & mask_gt[:, :, None], align_metric, 0.0)
 
-    # per-GT top-k candidates -> scatter to (B, N, A) mask.
+    # per-GT top-k candidates -> (B, N, A) mask.
     # Validity is PER GT, not per candidate: if the GT's best metric exceeds
     # eps, all its top-k candidates are kept even when their own metric is
     # ~0 — this is what bootstraps box learning at init, when scores are
     # prior-initialized tiny and metric = score^0.5 * overlap^6 ~ 1e-10.
-    topk_vals, topk_idx = jax.lax.top_k(candidate_metric, topk)  # (B, N, k)
-    gt_has_candidate = jnp.max(topk_vals, axis=-1, keepdims=True) > eps
-    topk_valid = jnp.broadcast_to(gt_has_candidate, topk_vals.shape)
+    #
+    # Only membership in the top-k matters here, never the order — so instead
+    # of lax.top_k (a full 8400-sort per (b, gt): 2.5 ms/step = 5.6% of the
+    # n b32 train step in the round-3 trace) plus an index scatter, take k
+    # successive argmaxes and mark them in place. argmax breaks ties by
+    # lowest index, exactly top_k's tie rule, so the selected SET is
+    # identical; each pass is a VPU reduce + compare at HBM speed.
+    anchor_iota = jnp.arange(a)
+    work = candidate_metric
+    gt_has_candidate = jnp.max(work, axis=-1, keepdims=True) > eps
     mask_topk = jnp.zeros((b, n, a), dtype=bool)
-    batch_ids = jnp.arange(b)[:, None, None]
-    gt_ids = jnp.arange(n)[None, :, None]
-    mask_topk = mask_topk.at[batch_ids, gt_ids, topk_idx].max(topk_valid)
+    for _ in range(topk):
+        sel = anchor_iota[None, None, :] == jnp.argmax(work, axis=-1)[:, :, None]
+        mask_topk |= sel
+        work = jnp.where(sel, -1.0, work)
+    mask_topk &= gt_has_candidate
 
     mask_pos = mask_topk & mask_in_gts & mask_gt[:, :, None]  # (B, N, A)
 
