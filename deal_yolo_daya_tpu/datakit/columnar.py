@@ -350,8 +350,29 @@ def rewrite_ptlists(table: AnnTable) -> list:
         # reference's re-serialization (objects becomes []): not splicable.
         return table.row_needs_fallback(i) or table.objects_kind[i] != 1
 
-    # Group per-object edits by row (native path).
+    # Native path: the whole rewrite (number formatting + byte splicing)
+    # runs in labelscan.cpp; only fallback rows drop to json round-trips.
     if table.native:
+        from ..runtime import rewrite_ptlists_native
+
+        do_row = (
+            ok_rows
+            & ((table.row_flags & RF_NONDICT_OBJECTS) == 0)
+            & (table.objects_kind == 1)
+        )
+        nat = rewrite_ptlists_native(
+            table.raw, do_row, table.obj_offsets, table.spans, table.box
+        )
+        if nat is not None:
+            for i in np.flatnonzero(ok_rows):
+                i = int(i)
+                if nat[i] is not None:
+                    out[i] = nat[i]
+                else:
+                    out[i] = _py_rewrite_ptlists_cell(
+                        table.raw[i].decode("utf-8")
+                    )
+            return out
         sp = table.spans
         bbox_ok = table.bbox_ok()
         edits_by_row: dict = {}

@@ -87,6 +87,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.scan_ann.restype = None
+        lib.rewrite_ptlists_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
+        lib.rewrite_ptlists_rows.restype = None
         _LIB = lib
         return _LIB
 
@@ -122,6 +134,53 @@ def scan_boxes_native(
         out_boxes, out_mask, out_counts, out_wh, n_threads,
     )
     return out_boxes, out_mask.astype(bool), out_counts, out_wh
+
+
+def rewrite_ptlists_native(
+    encoded: Sequence,
+    do_row: np.ndarray,
+    obj_offsets: np.ndarray,
+    obj_i32: np.ndarray,
+    obj_box: np.ndarray,
+    n_threads: Optional[int] = None,
+) -> Optional[list]:
+    """Step-4 applier: per-row rewritten cell text (None where do_row is
+    False / the native lib is unavailable). Inputs are scan_annotations_native
+    outputs; splice + Python-repr number semantics live in C++
+    (labelscan.cpp::rewrite_ptlists_rows)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(encoded)
+    if n == 0:
+        return []
+    arr = (ctypes.c_char_p * n)(*encoded)
+    do8 = np.ascontiguousarray(
+        np.asarray(do_row, bool)
+        & np.array([e is not None for e in encoded]),
+        dtype=np.uint8,
+    )
+    row_len = np.array([len(e) if e else 0 for e in encoded], np.int64)
+    nobj = np.diff(obj_offsets)
+    # per-object growth bound: bbox text <=131 B + insert scaffolding <=25 B
+    cap_off = np.zeros(n + 1, np.int64)
+    np.cumsum(row_len + 160 * nobj + 8, out=cap_off[1:])
+    out = np.zeros(max(int(cap_off[-1]), 1), np.uint8)
+    out_len = np.full(n, -1, np.int64)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.rewrite_ptlists_rows(
+        arr, n, do8, np.ascontiguousarray(obj_offsets, np.int64),
+        np.ascontiguousarray(obj_i32, np.int32).reshape(-1),
+        np.ascontiguousarray(obj_box, np.float64).reshape(-1),
+        out, cap_off, out_len, n_threads,
+    )
+    buf = out.tobytes()
+    return [
+        buf[cap_off[i]:cap_off[i] + out_len[i]].decode("utf-8")
+        if out_len[i] >= 0 else None
+        for i in range(n)
+    ]
 
 
 def scan_annotations_native(rows: Sequence, n_threads: Optional[int] = None):

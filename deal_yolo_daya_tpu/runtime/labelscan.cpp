@@ -18,6 +18,7 @@
 //                   float* out_wh /* n*2, -1 if absent */, int n_threads);
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cctype>
 #include <cstdlib>
@@ -1000,6 +1001,162 @@ void scan_boxes(const char** rows, int64_t n_rows, int two_point_only,
     work(0, n_rows);
     return;
   }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t s = t * chunk, e = std::min<int64_t>(s + chunk, n_rows);
+    if (s >= e) break;
+    threads.emplace_back(work, s, e);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Step-4 native applier: rewrite every object's polygon.ptList to its 2-point
+// bbox, producing the whole new cell text in C++ (the last Python residue of
+// the columnar step-4 path was per-object number formatting + per-row byte
+// splicing — ~2.5 s @50k rows). Splice semantics mirror
+// datakit/columnar.py::rewrite_ptlists; number text must be byte-identical
+// to Python's repr()-based fmt_num (reference serializes via json.dumps —
+// core/processor.py:281).
+// ---------------------------------------------------------------------------
+
+namespace rewrite {
+
+// Python float repr: shortest round-trip digits; integral doubles < 2^53
+// print as ints; scientific iff decimal exponent > 16 or < -4; fixed form
+// always keeps a fractional digit ("...992.0"). Returns bytes written.
+int fmt_num(double v, char* out) {
+  if (std::isnan(v)) { memcpy(out, "NaN", 3); return 3; }
+  if (std::isinf(v)) {
+    if (v > 0) { memcpy(out, "Infinity", 8); return 8; }
+    memcpy(out, "-Infinity", 9); return 9;
+  }
+  if (v == std::floor(v) && std::fabs(v) < 9007199254740992.0) {  // 2^53
+    return (int)snprintf(out, 32, "%lld", (long long)v);
+  }
+  // shortest precision that round-trips (glibc %e digits == repr digits)
+  char sci[40];
+  int p = 17;
+  for (int q = 1; q <= 17; ++q) {
+    snprintf(sci, sizeof(sci), "%.*e", q - 1, v);
+    if (strtod(sci, nullptr) == v) { p = q; break; }
+  }
+  snprintf(sci, sizeof(sci), "%.*e", p - 1, v);
+  // split "[-]d[.ddd]e±XX" into digits + exponent
+  char digits[24];
+  int nd = 0;
+  const char* s = sci;
+  bool neg = (*s == '-');
+  if (neg) ++s;
+  for (; *s && *s != 'e'; ++s)
+    if (*s != '.') digits[nd++] = *s;
+  int exp10 = (int)strtol(s + 1, nullptr, 10);
+  int decpt = exp10 + 1;  // digits before the decimal point in fixed form
+  if (decpt > 16 || decpt < -3) {
+    // scientific: printf's form already matches repr ("1e+16", "1.5e-07")
+    int len = (int)strlen(sci);
+    memcpy(out, sci, len);
+    return len;
+  }
+  char* w = out;
+  if (neg) *w++ = '-';
+  if (decpt <= 0) {
+    *w++ = '0'; *w++ = '.';
+    for (int i = 0; i < -decpt; ++i) *w++ = '0';
+    memcpy(w, digits, nd); w += nd;
+  } else if (decpt >= nd) {
+    memcpy(w, digits, nd); w += nd;
+    for (int i = nd; i < decpt; ++i) *w++ = '0';
+    *w++ = '.'; *w++ = '0';
+  } else {
+    memcpy(w, digits, decpt); w += decpt;
+    *w++ = '.';
+    memcpy(w, digits + decpt, nd - decpt); w += nd - decpt;
+  }
+  return (int)(w - out);
+}
+
+int bbox_text(const double* box, bool ok, char* out) {
+  if (!ok) {
+    static const char kNull[] =
+        "[{\"x\": null, \"y\": null}, {\"x\": null, \"y\": null}]";
+    int len = (int)sizeof(kNull) - 1;
+    memcpy(out, kNull, len);
+    return len;
+  }
+  char* w = out;
+  static const char* kPre[4] = {"[{\"x\": ", ", \"y\": ", "}, {\"x\": ",
+                               ", \"y\": "};
+  for (int i = 0; i < 4; ++i) {
+    size_t pl = strlen(kPre[i]);
+    memcpy(w, kPre[i], pl); w += pl;
+    w += fmt_num(box[i], w);
+  }
+  *w++ = '}'; *w++ = ']';
+  return (int)(w - out);
+}
+
+}  // namespace rewrite
+
+extern "C" {
+
+// For each row with do_row[i], write the rewritten cell into out at
+// cap_off[i] (per-row capacity offsets precomputed by the caller) and record
+// the actual length in out_len[i] (-1 = skipped). obj ranges per row come
+// from obj_off; obj_i32/obj_box are the scan_ann outputs.
+void rewrite_ptlists_rows(const char** rows, int64_t n_rows,
+                          const uint8_t* do_row, const int64_t* obj_off,
+                          const int32_t* obj_i32, const double* obj_box,
+                          char* out, const int64_t* cap_off, int64_t* out_len,
+                          int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t start, int64_t end) {
+    char text[192];
+    for (int64_t i = start; i < end; ++i) {
+      if (!do_row[i] || rows[i] == nullptr) { out_len[i] = -1; continue; }
+      const char* raw = rows[i];
+      int64_t raw_len = (int64_t)strlen(raw);
+      char* w = out + cap_off[i];
+      int64_t pos = 0;
+      for (int64_t j = obj_off[i]; j < obj_off[i + 1]; ++j) {
+        const int32_t* q = obj_i32 + j * 12;
+        int32_t f = q[9];
+        int tl = rewrite::bbox_text(obj_box + j * 4, f & (1 << 2) /*BBOX_OK*/,
+                                    text);
+        int64_t es, ee;          // replaced span
+        char pre[40];            // bytes before the bbox text
+        int pre_len = 0;
+        const char* post = "";   // bytes after it
+        if (f & (1 << 5)) {                       // F_HAS_PTLIST
+          es = q[4]; ee = q[5];
+        } else if (f & (1 << 8)) {                // F_POLY_IS_OBJ
+          es = ee = q[6] + 1;
+          memcpy(pre, "\"ptList\": ", 10); pre_len = 10;
+          if (!(f & (1 << 6))) post = ", ";       // !F_POLY_EMPTY
+        } else if (f & (1 << 4)) {                // F_HAS_POLY
+          es = q[6]; ee = q[7];
+          memcpy(pre, "{\"ptList\": ", 11); pre_len = 11;
+          post = "}";
+        } else {
+          es = ee = q[0] + 1;
+          memcpy(pre, "\"polygon\": {\"ptList\": ", 22); pre_len = 22;
+          post = (f & (1 << 7)) ? "}" : "}, ";    // F_OBJ_EMPTY
+        }
+        memcpy(w, raw + pos, es - pos); w += es - pos;
+        memcpy(w, pre, pre_len); w += pre_len;
+        memcpy(w, text, tl); w += tl;
+        size_t post_len = strlen(post);
+        memcpy(w, post, post_len); w += post_len;
+        pos = ee;
+      }
+      memcpy(w, raw + pos, raw_len - pos); w += raw_len - pos;
+      out_len[i] = (w - out) - cap_off[i];
+    }
+  };
+  if (n_threads == 1 || n_rows < 1024) { work(0, n_rows); return; }
   std::vector<std::thread> threads;
   int64_t chunk = (n_rows + n_threads - 1) / n_threads;
   for (int t = 0; t < n_threads; ++t) {

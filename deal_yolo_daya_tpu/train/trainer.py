@@ -78,6 +78,16 @@ class TrainConfig:
     # (PERF.md round 2).
     cache: Any = None
     val: bool = True
+    # validate every K epochs instead of every epoch (the final epoch always
+    # validates). At @640 the val pass costs ~a third of the epoch wall; the
+    # reference engine has no such knob (it validates every epoch = period 1,
+    # our default) but its epochs are GPU-paced — on TPU the train step
+    # outruns the host-side metrics loop, so cadence is the honest lever.
+    # Skipped epochs log 0-metrics rows (fitness unchanged, like val=False).
+    val_period: int = 1
+    # print a per-epoch phase breakdown (dispatch/step-sync/val/tail) for
+    # wall-rate audits (PERF.md round 3)
+    time_phases: bool = False
     max_boxes: int = 128
     box: float = 7.5
     cls: float = 0.5
@@ -865,16 +875,23 @@ class Trainer:
             if profiling:  # short epoch: close the trace cleanly
                 jax.block_until_ready(total)
                 jax.profiler.stop_trace()
+            t_dispatch = time.time()
             losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
             if n_steps:
                 for k in losses:
                     losses[k] = float(loss_acc[k]) / n_steps
             lr_now = float(self.lr_fn_host(self._step_host))
+            t_stepsync = time.time()
 
             metrics = {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0}
             val_losses = {"box_loss": 0.0, "cls_loss": 0.0, "dfl_loss": 0.0}
-            if cfg.val:
+            val_now = cfg.val and (
+                (epoch + 1) % max(1, cfg.val_period) == 0
+                or epoch == cfg.epochs - 1
+            )
+            if val_now:
                 metrics, val_losses = self.validate(save_artifacts=False)
+            t_val = time.time()
 
             epoch_time = time.time() - epoch_t0
             imgs = n_steps * cfg.batch
@@ -910,6 +927,13 @@ class Trainer:
                 self.save_checkpoint("best", epoch, fit)
             if cfg.save_period > 0 and (epoch + 1) % cfg.save_period == 0:
                 self.save_checkpoint(f"epoch{epoch + 1}", epoch, fit)
+            if cfg.time_phases:
+                print(
+                    f"  phases: dispatch {t_dispatch - epoch_t0:.2f}s  "
+                    f"step-sync {t_stepsync - t_dispatch:.2f}s  "
+                    f"val {t_val - t_stepsync:.2f}s  "
+                    f"tail {time.time() - t_val:.2f}s"
+                )
             if cfg.patience and epoch - best_epoch >= cfg.patience:
                 print(f"EarlyStopping: 最近 {cfg.patience} 个 epoch 无提升，提前停止")
                 break

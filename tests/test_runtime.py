@@ -106,3 +106,50 @@ def test_throughput_vs_python():
     print(f"native {t_native*1000:.1f}ms vs python {t_py*1000:.1f}ms "
           f"({t_py/max(t_native,1e-9):.1f}x)")
     assert t_native < t_py
+
+
+def test_native_rewrite_matches_python_splice():
+    """The C++ step-4 applier (rewrite_ptlists_rows) must be byte-identical
+    to the Python per-object splice path, including Python-repr float text
+    (int collapse < 2^53, sci form iff decimal exponent > 16 or < -4,
+    trailing .0 in fixed form)."""
+    import deal_yolo_daya_tpu.runtime as rt
+    from deal_yolo_daya_tpu.datakit import columnar
+
+    tricky = [
+        0.0, -0.0, 1.0, -7.0, 10.5, 0.1, 1/3, 1e-5, 0.0001, 123.456,
+        2.5, -2.25, 1e15, 1e16, 9007199254740992.0, 9007199254740991.0,
+        1.2345678901234567e16, 1e22, 1e-300, 2.2250738585072014e-308,
+        -1.5e-7, 3.141592653589793, 255.9999999999999,
+    ]
+    cells = []
+    for i in range(0, len(tricky) - 1, 2):
+        a, b = tricky[i], tricky[i + 1]
+        cells.append(json.dumps({
+            "width": 100, "height": 100,
+            "objects": [
+                {"name": "k", "polygon": {"ptList": [
+                    {"x": a, "y": b}, {"x": b, "y": a}, {"x": 0, "y": 0}]}},
+                {"name": "empty-poly", "polygon": {}},
+                {"name": "no-poly"},
+                {"name": "null-pts", "polygon": {"ptList": [
+                    {"x": None, "y": None}]}},
+            ],
+        }))
+    table = columnar.build_table(cells)
+    assert table.native, "native scanner required for this parity test"
+    got = columnar.rewrite_ptlists(table)
+
+    # Python reference: force the pure-Python splice branch
+    orig = rt.rewrite_ptlists_native
+    rt.rewrite_ptlists_native = lambda *a, **k: None
+    try:
+        want = columnar.rewrite_ptlists(columnar.build_table(cells))
+    finally:
+        rt.rewrite_ptlists_native = orig
+    assert got == want
+    # and every rewritten cell must stay valid JSON with 2-point ptLists
+    for text in got:
+        data = json.loads(text)
+        for obj in data["objects"]:
+            assert len(obj["polygon"]["ptList"]) == 2
