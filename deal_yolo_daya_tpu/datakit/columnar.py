@@ -427,36 +427,79 @@ def _py_rename_cell(raw_text: str, renames: dict) -> str:
     return json.dumps(data, ensure_ascii=False)
 
 
+def _name_edit(table: AnnTable, j: int, rep: bytes):
+    """(start, end, replacement) byte edit setting object j's name to the
+    pre-encoded JSON string ``rep`` (insert when the name key is absent)."""
+    sp = table.spans
+    s, e = int(sp[j, 2]), int(sp[j, 3])
+    if s >= 0:
+        return s, e, rep
+    pos = int(sp[j, 0]) + 1
+    ins = b'"name": ' + rep
+    if not (int(table.flags[j]) & F_OBJ_EMPTY):
+        ins += b", "
+    return pos, pos, ins
+
+
 def apply_renames(table: AnnTable, new_names: Sequence) -> list:
     """Rewrite object names; new_names[j] is None to keep. Returns per-row
     text for CHANGED rows only (None = row untouched)."""
+    from ..runtime import splice_items_native
+
     out: list = [None] * table.n
-    changed: dict = {}
+    base = table.obj_offsets
+    # obj_row is nondecreasing, so iterating changed j's in order yields
+    # row-grouped, position-sorted edit runs directly
+    item_row: list = []
+    edit_off = [0]
+    edit_s: list = []
+    edit_e: list = []
+    reps: list = []
+    rep_off = [0]
+    py_rows: dict = {}
+    rep_cache: dict = {}
+    prev = None
     for j, nn in enumerate(new_names):
         if nn is None:
             continue
-        changed.setdefault(int(table.obj_row[j]), []).append(j)
-    base = table.obj_offsets
-    for i, objs in changed.items():
+        i = int(table.obj_row[j])
         if table.row_needs_fallback(i):
-            renames = {int(j - base[i]): new_names[j] for j in objs}
-            out[i] = _py_rename_cell(table.raw[i].decode("utf-8"), renames)
-        else:
-            sp = table.spans
-            edits = []
-            for j in objs:
-                rep = json.dumps(new_names[j], ensure_ascii=False).encode("utf-8")
-                s, e = int(sp[j, 2]), int(sp[j, 3])
-                if s < 0:
-                    # object had no name key: insert one at the front
-                    pos = int(sp[j, 0]) + 1
-                    ins = b'"name": ' + rep
-                    if not (int(table.flags[j]) & F_OBJ_EMPTY):
-                        ins += b", "
-                    edits.append((pos, pos, ins))
-                else:
-                    edits.append((s, e, rep))
-            out[i] = splice(table.raw[i], edits).decode("utf-8")
+            py_rows.setdefault(i, []).append(j)
+            continue
+        rep = rep_cache.get(nn)
+        if rep is None:
+            rep = rep_cache[nn] = json.dumps(nn, ensure_ascii=False).encode("utf-8")
+        s, e, rep = _name_edit(table, j, rep)
+        if i != prev:
+            if prev is not None:
+                edit_off.append(len(edit_s))
+            item_row.append(i)
+            prev = i
+        edit_s.append(s)
+        edit_e.append(e)
+        reps.append(rep)
+        rep_off.append(rep_off[-1] + len(rep))
+    if prev is not None:
+        edit_off.append(len(edit_s))
+
+    texts = splice_items_native(
+        table.raw, np.asarray(item_row, np.int64), np.asarray(edit_off, np.int64),
+        np.asarray(edit_s, np.int64), np.asarray(edit_e, np.int64),
+        b"".join(reps), np.asarray(rep_off, np.int64),
+    ) if item_row else []
+    if texts is None:  # no native lib: per-row python splice
+        for k, i in enumerate(item_row):
+            lo, hi = edit_off[k], edit_off[k + 1]
+            out[i] = splice(
+                table.raw[i],
+                list(zip(edit_s[lo:hi], edit_e[lo:hi], reps[lo:hi])),
+            ).decode("utf-8")
+    else:
+        for k, i in enumerate(item_row):
+            out[i] = texts[k]
+    for i, objs in py_rows.items():
+        renames = {int(j - base[i]): new_names[j] for j in objs}
+        out[i] = _py_rename_cell(table.raw[i].decode("utf-8"), renames)
     return out
 
 
@@ -479,6 +522,73 @@ def _py_extract_cell(raw_text: str, ordinal: int, label: str) -> str:
     new_data = {k2: v for k2, v in data.items() if k2 != "objects"}
     new_data["objects"] = [picked]
     return json.dumps(new_data, ensure_ascii=False)
+
+
+def extract_single_objects(table: AnnTable, objs, labels) -> list:
+    """Batch step-7 explosion: one output text per (object, label) pair —
+    the cell keeps only that object, renamed. The splice loop runs in C++
+    (runtime.splice_items_native); falls back to per-item extraction."""
+    from ..runtime import splice_items_native
+
+    objs = np.asarray(objs, np.int64)
+    n_items = len(objs)
+    out: list = [None] * n_items
+    item_row = np.zeros(n_items, np.int64)
+    edit_off = [0]
+    edit_s: list = []
+    edit_e: list = []
+    reps: list = []
+    rep_off = [0]
+    native_items: list = []
+    rep_cache: dict = {}
+    sp = table.spans
+    osp = table.objects_span
+    for k in range(n_items):
+        j = int(objs[k])
+        i = int(table.obj_row[j])
+        if table.row_needs_fallback(i):
+            out[k] = _py_extract_cell(
+                table.raw[i].decode("utf-8"), int(j - table.obj_offsets[i]),
+                str(labels[k]),
+            )
+            continue
+        lbl = labels[k]
+        rep = rep_cache.get(lbl)
+        if rep is None:
+            rep = rep_cache[lbl] = json.dumps(
+                str(lbl), ensure_ascii=False
+            ).encode("utf-8")
+        s, e = int(sp[j, 0]), int(sp[j, 1])
+        ns, ne, nrep = _name_edit(table, j, rep)
+        edits = [
+            (int(osp[i, 0]), s, b"["),      # "...objects": [  -> "[{obj"
+            (ns, ne, nrep),                  # rename (or insert name)
+            (e, int(osp[i, 1]), b"]"),      # drop the other objects
+        ]
+        item_row[len(native_items)] = i
+        native_items.append(k)
+        for a, b, r in edits:
+            edit_s.append(a)
+            edit_e.append(b)
+            reps.append(r)
+            rep_off.append(rep_off[-1] + len(r))
+        edit_off.append(len(edit_s))
+    if native_items:
+        texts = splice_items_native(
+            table.raw, item_row[: len(native_items)],
+            np.asarray(edit_off, np.int64), np.asarray(edit_s, np.int64),
+            np.asarray(edit_e, np.int64), b"".join(reps),
+            np.asarray(rep_off, np.int64),
+        )
+        if texts is None:
+            for pos, k in enumerate(native_items):
+                out[k] = extract_single_object(
+                    table, int(objs[k]), str(labels[k])
+                )
+        else:
+            for pos, k in enumerate(native_items):
+                out[k] = texts[pos]
+    return out
 
 
 def extract_single_object(table: AnnTable, j: int, label: str) -> str:

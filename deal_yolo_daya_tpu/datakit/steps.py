@@ -232,10 +232,16 @@ def _wh_column(values: np.ndarray):
     the reference appends the raw JSON value (int stays int) per row, so one
     fractional width elsewhere in the file must not turn every '640' into
     '640.0'."""
-    return pd.Series([
-        None if not np.isfinite(v) else (int(v) if float(v).is_integer() else float(v))
-        for v in values
-    ], dtype=object)
+    values = np.asarray(values, np.float64)
+    finite = np.isfinite(values)
+    integral = finite & (values == np.floor(values))
+    col = np.full(len(values), None, dtype=object)
+    # .tolist() boxes PYTHON ints/floats (np.int64 would serialize as text
+    # in the xlsx writer's isinstance(int) check)
+    col[integral] = values[integral].astype(np.int64).tolist()
+    frac = finite & ~integral
+    col[frac] = values[frac].tolist()
+    return pd.Series(col, dtype=object)
 
 
 def process_csv_replace_ptlist(
@@ -270,10 +276,17 @@ def process_csv_replace_ptlist(
 
     kept_idx = np.flatnonzero(keep.to_numpy())
     out = pd.DataFrame(index=range(len(kept_idx)))
+    # assign string columns as OBJECT Series: sanitizing a python list/object
+    # ndarray into the default Arrow-string dtype re-encodes every cell
+    # (~0.8 s per 50k-row column, pandas 3 profile round 3); object passes
+    # straight through and to_csv costs the same either way
+    as_obj = lambda vals: pd.Series(
+        np.asarray(vals, dtype=object), dtype=object
+    )
     if "source" in df.columns:
-        out["source"] = df["source"].to_numpy()[kept_idx]
-    out[LABEL_JSON_COL] = df[LABEL_JSON_COL].to_numpy()[kept_idx]
-    out[NEW_LABEL_JSON_COL] = [rewritten[i] for i in kept_idx]
+        out["source"] = as_obj(df["source"].to_numpy()[kept_idx])
+    out[LABEL_JSON_COL] = as_obj(df[LABEL_JSON_COL].to_numpy()[kept_idx])
+    out[NEW_LABEL_JSON_COL] = as_obj([rewritten[i] for i in kept_idx])
     out["width"] = _wh_column(table.wh[kept_idx, 0])
     out["height"] = _wh_column(table.wh[kept_idx, 1])
 
@@ -518,7 +531,8 @@ def replace_labels_by_mapping(
         for i, text in enumerate(rewritten):
             if text is not None:
                 vals[i] = text
-        df[col] = vals
+        # object Series: skip the Arrow-string re-encode of the whole column
+        df[col] = pd.Series(vals, dtype=object, index=df.index)
 
         # diff rows: any object whose display name changed (even reorder-only)
         diff_mask = (raw_names.to_numpy() != full_new.to_numpy())
@@ -663,6 +677,15 @@ def split_dataset_by_rules(
     train_ratio, val_ratio = train_ratio / ratio_sum, val_ratio / ratio_sum
 
     df = pd.read_csv(input_csv_path, encoding="utf-8-sig")
+    # Arrow-string columns -> object up front: this step is take/iloc/assign
+    # heavy over 3x-exploded rows, and pandas-3 Arrow strings pay per-cell
+    # chunked-take + re-encode costs there (4.1 s of the 50k bench, round 3);
+    # object columns ride plain numpy fancy indexing. Numeric dtypes stay.
+    for _c in df.columns:
+        if pd.api.types.is_string_dtype(df[_c].dtype):
+            df[_c] = pd.Series(
+                df[_c].to_numpy(dtype=object), dtype=object, index=df.index
+            )
     if json_columns is None:
         json_columns = [c for c in (NEW_LABEL_JSON_COL, LABEL_JSON_COL) if c in df.columns]
     present_cols = [c for c in json_columns if c in df.columns]
@@ -725,15 +748,18 @@ def split_dataset_by_rules(
     if len(classified):
         take_idx = classified["row"].to_numpy()
         exploded = df.iloc[take_idx].reset_index(drop=True)
-        new_jsons = [
-            columnar.extract_single_object(table, int(j), str(lbl))
-            for j, lbl in zip(classified["obj"].to_numpy(), classified["tok"].to_numpy())
-        ]
+        new_jsons = columnar.extract_single_objects(
+            table, classified["obj"].to_numpy(),
+            classified["tok"].to_numpy(dtype=object),
+        )
+        as_obj = lambda vals: pd.Series(
+            np.asarray(vals, dtype=object), dtype=object, index=exploded.index
+        )
         for col in present_cols:
-            exploded[col] = new_jsons
-        exploded["分类标签"] = classified["tok"].to_numpy()
-        exploded["分类类别"] = classified["category"].to_numpy()
-        exploded["原始标签组合"] = combos.to_numpy()[take_idx]
+            exploded[col] = as_obj(new_jsons)
+        exploded["分类标签"] = as_obj(classified["tok"].to_numpy())
+        exploded["分类类别"] = as_obj(classified["category"].to_numpy())
+        exploded["原始标签组合"] = as_obj(combos.to_numpy()[take_idx])
 
     # --- unclassified audit ---------------------------------------------------
     # order key: (row, phase) with phase 0 = row-level error, 1 = per-object/
@@ -755,8 +781,13 @@ def split_dataset_by_rules(
     if len(unruled):
         idx = unruled["row"].to_numpy()
         part = df.iloc[idx].copy()
-        part["无法分类原因"] = [f"标签{t}未在规则中定义" for t in unruled["tok"]]
-        part["无法分类标签"] = unruled["tok"].to_numpy()
+        part["无法分类原因"] = pd.Series(
+            np.array([f"标签{t}未在规则中定义" for t in unruled["tok"]], object),
+            dtype=object, index=part.index,
+        )
+        part["无法分类标签"] = pd.Series(
+            unruled["tok"].to_numpy(dtype=object), dtype=object, index=part.index
+        )
         part["_row"] = idx
         part["_phase"] = 1
         uncls_parts.append(part)
@@ -803,14 +834,16 @@ def split_dataset_by_rules(
             np.where(reasons_by_row.to_numpy() != "", "部分可分类", "是"),
         ),
     )
+    _obj = lambda a: pd.Series(np.asarray(a, dtype=object), dtype=object)
     split_counts_df = pd.DataFrame({
-        "source": df["source"] if "source" in df.columns else None,
-        "原始标签组合": np.where(error_rows, "", combos.to_numpy()),
+        "source": df["source"].reset_index(drop=True)
+        if "source" in df.columns else None,
+        "原始标签组合": _obj(np.where(error_rows, "", combos.to_numpy())),
         "拆分条数": expand_counts,
-        "是否可分类": statuses,
-        "无法分类原因": np.where(
+        "是否可分类": _obj(statuses),
+        "无法分类原因": _obj(np.where(
             error_rows, errors.fillna("").to_numpy(), reasons_by_row.to_numpy()
-        ),
+        )),
     })
 
     # --- per-category shuffle + 3-way split -----------------------------------

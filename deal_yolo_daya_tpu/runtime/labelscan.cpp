@@ -19,6 +19,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <charconv>
 #include <cstring>
 #include <cctype>
 #include <cstdlib>
@@ -1037,14 +1038,23 @@ int fmt_num(double v, char* out) {
   if (v == std::floor(v) && std::fabs(v) < 9007199254740992.0) {  // 2^53
     return (int)snprintf(out, 32, "%lld", (long long)v);
   }
-  // shortest precision that round-trips (glibc %e digits == repr digits)
+  // shortest round-trip digits in scientific form ("d.ddde±XX", same
+  // exponent format as printf %e / Python repr)
   char sci[40];
+#if defined(__cpp_lib_to_chars) && __cpp_lib_to_chars >= 201611L
+  auto tc = std::to_chars(sci, sci + sizeof(sci) - 1, v,
+                          std::chars_format::scientific);
+  *tc.ptr = '\0';
+#else
+  // probe the shortest precision that round-trips (17x slower; only for
+  // toolchains without float to_chars)
   int p = 17;
   for (int q = 1; q <= 17; ++q) {
     snprintf(sci, sizeof(sci), "%.*e", q - 1, v);
     if (strtod(sci, nullptr) == v) { p = q; break; }
   }
   snprintf(sci, sizeof(sci), "%.*e", p - 1, v);
+#endif
   // split "[-]d[.ddd]e±XX" into digits + exponent
   char digits[24];
   int nd = 0;
@@ -1161,6 +1171,50 @@ void rewrite_ptlists_rows(const char** rows, int64_t n_rows,
   int64_t chunk = (n_rows + n_threads - 1) / n_threads;
   for (int t = 0; t < n_threads; ++t) {
     int64_t s = t * chunk, e = std::min<int64_t>(s + chunk, n_rows);
+    if (s >= e) break;
+    threads.emplace_back(work, s, e);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Generic byte-splice engine: item k copies rows[item_row[k]] applying its
+// (sorted, non-overlapping) edits [edit_off[k], edit_off[k+1]) — edit e
+// replaces source bytes [edit_s[e], edit_e[e]) with rep[rep_off[e]..
+// rep_off[e+1]). Output for item k lands at out + cap_off[k]; actual length
+// in out_len[k]. Serves the step-6 rename and step-7 single-object
+// extraction appliers (datakit/columnar.py).
+void splice_items(const char** rows, const int64_t* item_row, int64_t n_items,
+                  const int64_t* edit_off, const int64_t* edit_s,
+                  const int64_t* edit_e, const char* rep,
+                  const int64_t* rep_off, char* out, const int64_t* cap_off,
+                  int64_t* out_len, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t start, int64_t end) {
+    for (int64_t k = start; k < end; ++k) {
+      const char* raw = rows[item_row[k]];
+      if (raw == nullptr) { out_len[k] = -1; continue; }
+      int64_t raw_len = (int64_t)strlen(raw);
+      char* w = out + cap_off[k];
+      int64_t pos = 0;
+      for (int64_t e = edit_off[k]; e < edit_off[k + 1]; ++e) {
+        memcpy(w, raw + pos, edit_s[e] - pos); w += edit_s[e] - pos;
+        int64_t rl = rep_off[e + 1] - rep_off[e];
+        memcpy(w, rep + rep_off[e], rl); w += rl;
+        pos = edit_e[e];
+      }
+      memcpy(w, raw + pos, raw_len - pos); w += raw_len - pos;
+      out_len[k] = (w - out) - cap_off[k];
+    }
+  };
+  if (n_threads == 1 || n_items < 1024) { work(0, n_items); return; }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n_items + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t s = t * chunk, e = std::min<int64_t>(s + chunk, n_items);
     if (s >= e) break;
     threads.emplace_back(work, s, e);
   }

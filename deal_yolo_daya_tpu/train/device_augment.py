@@ -39,6 +39,9 @@ class DeviceAugConfig(NamedTuple):
     hsv_v: float = 0.4
     fliplr: float = 0.5
     flipud: float = 0.0
+    # force the exact per-pixel gather resampler for rotation/shear instead
+    # of the 2-pass shear/scale warp (tests + numerics comparisons)
+    force_gather: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +114,35 @@ def _axis_weights(coords: jnp.ndarray, n_in: int) -> jnp.ndarray:
     w0 = (cols == i0[:, None]).astype(jnp.float32) * (1.0 - fx)[:, None]
     w1 = (cols == i1[:, None]).astype(jnp.float32) * fx[:, None]
     return w0 + w1
+
+
+def _shift_rows(img: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Per-row sub-pixel read shift: out[y, x] = img[y, x + delta[y]] with
+    edge clamp, delta >= 0. Two-tap fractional blend, then the integer part
+    applied as log2(W) binary-shift stages (whole-array pad/slice + select —
+    pure vector ops; a per-pixel lane gather here costs ~50x on TPU,
+    CLAUDE.md rule 9). Clamp composes correctly across stages:
+    min(min(x+a, W-1)+b, W-1) == min(x+a+b, W-1)."""
+    w = img.shape[1]
+    d = jnp.clip(delta, 0.0, w - 1.0)
+    k = jnp.floor(d)
+    f = (d - k)[:, None, None]
+    out = img * (1.0 - f) + jnp.concatenate([img[:, 1:], img[:, -1:]], 1) * f
+    k = k.astype(jnp.int32)
+    b = 1
+    while b < w:
+        bit = ((k & b) > 0)[:, None, None]
+        shifted = jnp.concatenate(
+            [out[:, b:], jnp.repeat(out[:, -1:], b, axis=1)], 1
+        )
+        out = jnp.where(bit, shifted, out)
+        b <<= 1
+    return out
+
+
+def _shift_cols(img: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Per-column vertical read shift: out[y, x] = img[y + delta[x], x]."""
+    return _shift_rows(img.swapaxes(0, 1), delta).swapaxes(0, 1)
 
 
 def _bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -229,10 +261,46 @@ def _mosaic_one(
         qy = (canvas_y >= yc).astype(jnp.int32)
         quad = jnp.where(use_mosaic, qy * 2 + qx, 0)  # 0 TL 1 TR 2 BL 3 BR
 
-        # per-quadrant source coords
+        # per-quadrant source coords (for validity/quadrant masks; exact)
         src_x4 = canvas_x[None] - origin_x[:, None, None]
         src_y4 = canvas_y[None] - origin_y[:, None, None]
-        sampled = jax.vmap(_bilinear_sample)(srcs, src_x4, src_y4)
+        if not cfg.force_gather and max(abs(cfg.degrees), abs(cfg.shear)) <= 45.0:
+            # 2-PASS SHEAR/SCALE WARP (PERF.md round 3): the inverse affine
+            # factors as a horizontal pass x = pA*x'' + qA*y + rA (per-row
+            # sub-pixel shift + shared-slope 1D resample matmul) followed by
+            # a vertical pass y = i11*y' + i10*x'' + wB (per-column shift +
+            # row matmul). All stages are vector ops / MXU matmuls — the
+            # per-pixel 2D gather below costs ~1.2 s per b32@320 batch.
+            # Valid while |i11| stays away from 0, i.e. rotations < ~45 deg
+            # (ultralytics range: degrees<=10 typical). Double bilinear
+            # filtering (one per pass) vs the gather path's single tap is
+            # the standard multi-pass warp tradeoff.
+            i11s = jnp.where(jnp.abs(i11) < 1e-4, 1e-4, i11)
+            qA = i01 / i11s
+            pA = (i00 * i11 - i01 * i10) / i11s
+            constx = cxc - i00 * tx - i01 * ty
+            wb = cyc - i10 * tx - i11 * ty
+            ra = constx - qA * wb
+            ra_q = ra + qA * origin_y - origin_x          # (4,)
+            wb_q = wb - origin_y                          # (4,)
+            fs = jnp.float32(s)
+            # pass H over source rows
+            r0h = ra_q + jnp.minimum(0.0, qA * (fs - 1.0))
+            delta_h = qA * ys[None, :] + (ra_q - r0h)[:, None]       # (4, S)
+            shifted = jax.vmap(_shift_rows)(srcs, delta_h)
+            bx = pA * xs[None, :] + r0h[:, None]                     # (4, S)
+            wxg = jax.vmap(lambda c: _axis_weights(c, s))(bx)
+            h_out = jnp.einsum("qxw,qywc->qyxc", wxg, shifted)
+            # pass V over columns of the H output
+            r0v = wb_q + jnp.minimum(0.0, i10 * (fs - 1.0))
+            delta_v = i10 * xs[None, :] + (wb_q - r0v)[:, None]      # (4, S)
+            shifted_v = jax.vmap(_shift_cols)(h_out, delta_v)
+            by = i11 * ys[None, :] + r0v[:, None]
+            wyg = jax.vmap(lambda c: _axis_weights(c, s))(by)
+            sampled = jnp.einsum("qoy,qyxc->qoxc", wyg, shifted_v)
+        else:
+            # large-angle fallback: exact per-pixel gather (slow on TPU)
+            sampled = jax.vmap(_bilinear_sample)(srcs, src_x4, src_y4)
         valid4 = (
             (src_x4 >= -0.5) & (src_x4 <= ws[:, None, None] - 0.5)
             & (src_y4 >= -0.5) & (src_y4 <= hs[:, None, None] - 0.5)

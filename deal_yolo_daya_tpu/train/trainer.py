@@ -362,13 +362,16 @@ class Trainer:
             hsv_s=self.cfg.hsv_s, hsv_v=self.cfg.hsv_v,
             fliplr=self.cfg.fliplr, flipud=self.cfg.flipud,
         )
-        if self.cfg.device_augment and (self.cfg.degrees or self.cfg.shear):
-            # the separable MXU resampler needs an axis-aligned affine; with
-            # rotation/shear the general per-pixel gather path runs instead
-            # (~1.2 s per b32@320 batch on TPU — PERF.md round 2)
+        if self.cfg.device_augment and max(
+            abs(self.cfg.degrees), abs(self.cfg.shear)
+        ) > 45.0:
+            # <=45 deg rides the 2-pass shear/scale warp (vector ops + MXU
+            # matmuls, PERF.md round 3); beyond that the warp's horizontal
+            # pass degenerates (|i11| -> 0) and the exact per-pixel gather
+            # path runs instead (~1.2 s per b32@320 batch on TPU)
             print(
-                "提示：degrees/shear 非零时设备端增强走逐像素采样路径（慢约"
-                " 50 倍）；如需旋转增强建议 device_augment=False"
+                "提示：degrees/shear 超过 45 度时设备端增强走逐像素采样路径"
+                "（慢约 50 倍）；如需大角度旋转建议 device_augment=False"
             )
 
         # kept as a SEPARATE jit from the train step: fusing them into one

@@ -87,22 +87,63 @@ def _cell_xml(ref: str, value) -> str:
     return f'<c r="{ref}" t="inlineStr"><is><t{space}>{text}</t></is></c>'
 
 
+_WS = " \t\n\r"
+
+
 def _sheet_xml(df: pd.DataFrame, header: bool = True, index: bool = False) -> str:
+    """Row XML for one sheet. The data loop is the datakit's hottest xlsx
+    path (1.4M cells in the 50k-row split bench): columns are pulled out of
+    pandas ONCE as object arrays (per-cell Arrow __getitem__ costs more than
+    the formatting), and the common cell types are formatted inline —
+    _cell_xml stays the fallback for exotic values."""
     rows: List[str] = []
-    out_rows: List[List] = []
+    out_cols: List = []
+    if index:
+        nlev = df.index.nlevels
+        for lev in range(nlev):
+            out_cols.append(df.index.get_level_values(lev).to_numpy(dtype=object))
+    for c in df.columns:
+        out_cols.append(df[c].to_numpy(dtype=object))
+    r = 1
     if header:
         head = (list(map(str, df.index.names)) if index else []) + [str(c) for c in df.columns]
         if index and head[: df.index.nlevels] == ["None"]:
             head[0] = ""
-        out_rows.append(head)
-    for idx, row in zip(df.index, df.itertuples(index=False, name=None)):
-        prefix = list(idx) if (index and isinstance(idx, tuple)) else ([idx] if index else [])
-        out_rows.append(prefix + list(row))
-    for r, values in enumerate(out_rows, start=1):
-        cells = [
-            _cell_xml(f"{_col_letter(c)}{r}", v) for c, v in enumerate(values)
-        ]
-        rows.append(f'<row r="{r}">' + "".join(cells) + "</row>")
+        cells = [_cell_xml(f"{_col_letter(c)}1", v) for c, v in enumerate(head)]
+        rows.append('<row r="1">' + "".join(cells) + "</row>")
+        r = 2
+    letters = [_col_letter(c) for c in range(len(out_cols))]
+    n = len(df)
+    rs = [str(r + i) for i in range(n)]  # shared row-number strings
+    # column-major: one comprehension per column (conditional expressions,
+    # no per-cell function dispatch); rows assembled by zipping the columns
+    col_cells = []
+    for L, col in zip(letters, out_cols):
+        col_cells.append([
+            (
+                (
+                    f'<c r="{L}{R}" t="inlineStr"><is><t xml:space="preserve">'
+                    f'{_xml_escape(v) if ("&" in v or "<" in v or ">" in v or chr(34) in v) else v}</t></is></c>'
+                    if v and (v[0] in _WS or v[-1] in _WS)
+                    else f'<c r="{L}{R}" t="inlineStr"><is><t>'
+                    f'{_xml_escape(v) if ("&" in v or "<" in v or ">" in v or chr(34) in v) else v}</t></is></c>'
+                )
+                if type(v) is str
+                else ""
+                if v is None or v != v  # None / NaN
+                else f'<c r="{L}{R}"><v>{v!r}</v></c>'
+                if type(v) is int or (type(v) is float and not math.isinf(v))
+                else _cell_xml(f"{L}{R}", v)
+            )
+            for R, v in zip(rs, col)
+        ])
+    if col_cells:
+        rows.extend(
+            f'<row r="{R}">{"".join(cells)}</row>'
+            for R, cells in zip(rs, zip(*col_cells))
+        )
+    else:  # zero-column frame: keep the empty row tags
+        rows.extend(f'<row r="{R}"></row>' for R in rs)
     return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
@@ -149,7 +190,9 @@ def write_workbook(
         + "</Relationships>"
     )
 
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+    # compresslevel 1: ~5x faster deflate for ~15% larger files — these are
+    # intermediate pipeline artifacts, not archives
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
         zf.writestr(
             "[Content_Types].xml",
             _CONTENT_TYPES_TMPL.format(sheet_overrides=sheet_overrides),

@@ -211,3 +211,56 @@ def test_mixup_blend_and_label_union():
     assert np.asarray(om).sum() >= np.asarray(om0).sum()
     # Beta(32,32) blend: pixel values between the two sources' extremes
     assert np.asarray(out).min() >= 0 and np.asarray(out).max() <= 255
+
+
+def test_warp_path_matches_gather_path():
+    """degrees/shear <= 45 runs the 2-pass shear/scale warp; it must agree
+    with the exact per-pixel gather resampler: boxes/classes/masks EXACTLY
+    (the box math is shared), pixels closely (the warp bilinear-filters once
+    per pass, so allow small smoothing differences away from edges)."""
+    images, hw, boxes, classes, mask = _batch()
+    key = jax.random.PRNGKey(3)
+    base = dict(scale=0.3, translate=0.1, degrees=10.0, shear=5.0,
+                hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0.0, flipud=0.0)
+    out_w, ob_w, oc_w, om_w = augment_batch(
+        images, hw, boxes, classes, mask, key, S,
+        DeviceAugConfig(**base), max_boxes=16)
+    out_g, ob_g, oc_g, om_g = augment_batch(
+        images, hw, boxes, classes, mask, key, S,
+        DeviceAugConfig(**base, force_gather=True), max_boxes=16)
+    np.testing.assert_array_equal(np.asarray(om_w), np.asarray(om_g))
+    np.testing.assert_array_equal(np.asarray(oc_w), np.asarray(oc_g))
+    np.testing.assert_allclose(np.asarray(ob_w), np.asarray(ob_g), atol=1e-3)
+    a = np.asarray(out_w, np.float32)
+    b = np.asarray(out_g, np.float32)
+    # the synthetic images are piecewise-constant: away from the few content
+    # edges both resamplers produce identical flats, so the MEAN abs diff
+    # stays small even though single edge pixels may differ
+    assert np.mean(np.abs(a - b)) < 3.0, np.mean(np.abs(a - b))
+    assert np.mean(np.abs(a - b) > 20) < 0.02  # <2% of pixels differ a lot
+
+
+def test_warp_path_identity_affine_exact():
+    """With degrees/shear tiny and all randomness neutralized, the warp path
+    must reproduce content exactly like the identity test does."""
+    b = 2
+    images = np.zeros((b, S, S, 3), np.uint8)
+    images[:, : S // 2, : S // 2] = 200
+    hw = np.full((b, 2), S, np.float32)
+    boxes = np.zeros((b, M, 4), np.float32)
+    boxes[:, 0] = (4, 4, 24, 24)
+    classes = np.zeros((b, M), np.int32)
+    mask = np.zeros((b, M), bool)
+    mask[:, 0] = True
+    cfg = DeviceAugConfig(mosaic=0.0, scale=0.0, translate=0.0,
+                          degrees=1e-9, shear=0.0,
+                          hsv_h=0, hsv_s=0, hsv_v=0, fliplr=0.0, flipud=0.0)
+    out, ob, oc, om = augment_batch(
+        jnp.asarray(images), jnp.asarray(hw), jnp.asarray(boxes),
+        jnp.asarray(classes), jnp.asarray(mask), jax.random.PRNGKey(0), S,
+        cfg, max_boxes=M)
+    # single-image path, no scale/translate: content centered = unchanged
+    np.testing.assert_allclose(
+        np.asarray(out[0], np.float32), images[0].astype(np.float32), atol=2.0
+    )
+    np.testing.assert_allclose(np.asarray(ob[0, 0]), boxes[0, 0], atol=1e-2)

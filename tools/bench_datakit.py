@@ -192,7 +192,11 @@ def timeit(fn, *args, **kw):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    # --columnar-only: skip the reference-shaped row-loop baselines (at the
+    # 1M-row north-star scale they run for over an hour)
+    columnar_only = "--columnar-only" in sys.argv
+    n = int(args[0]) if args else 1_000_000
     import tempfile
 
     root = Path(tempfile.mkdtemp(prefix="dk_bench_"))
@@ -214,34 +218,47 @@ def main():
     results = {}
     results["columnar_s4"] = timeit(
         steps.process_csv_replace_ptlist, str(src), str(root / "c4.csv"), str(root / "c4x.csv"))
-    results["rowloop_s4"] = timeit(rowloop_step4, str(src), str(root / "r4.csv"))
+    if not columnar_only:
+        results["rowloop_s4"] = timeit(rowloop_step4, str(src), str(root / "r4.csv"))
     results["columnar_s5"] = timeit(
         steps.filter_by_box_count_and_iou, str(root / "c4.csv"),
         str(root / "c5h.csv"), str(root / "c5o.csv"))
-    results["rowloop_s5"] = timeit(
-        rowloop_step5, str(root / "c4.csv"), str(root / "r5h.csv"), str(root / "r5o.csv"))
+    if not columnar_only:
+        results["rowloop_s5"] = timeit(
+            rowloop_step5, str(root / "c4.csv"), str(root / "r5h.csv"), str(root / "r5o.csv"))
     results["columnar_s6"] = timeit(
         steps.replace_labels_by_mapping, str(root / "c5o.csv"), str(map_xlsx),
         str(root / "c6.csv"))
-    results["rowloop_s6"] = timeit(
-        rowloop_step6, str(root / "c5o.csv"), label_map, str(root / "r6.csv"))
+    if not columnar_only:
+        results["rowloop_s6"] = timeit(
+            rowloop_step6, str(root / "c5o.csv"), label_map, str(root / "r6.csv"))
     results["columnar_s7"] = timeit(
         steps.split_dataset_by_rules, str(root / "c6.csv"), str(rules_xlsx),
         str(root / "c7"))
-    results["rowloop_s7"] = timeit(
-        rowloop_step7, str(root / "c6.csv"), rules, str(root / "r7"))
+    if not columnar_only:
+        results["rowloop_s7"] = timeit(
+            rowloop_step7, str(root / "c6.csv"), rules, str(root / "r7"))
 
     print(f"\n=== datakit bench, n={n} ===")
     total_c = total_r = 0.0
     for s in ("s4", "s5", "s6", "s7"):
-        c, r = results[f"columnar_{s}"], results[f"rowloop_{s}"]
+        c = results[f"columnar_{s}"]
         total_c += c
+        if columnar_only:
+            print(f"step {s}: columnar {c:8.2f}s")
+            continue
+        r = results[f"rowloop_{s}"]
         total_r += r
         print(f"step {s}: columnar {c:8.2f}s   rowloop {r:8.2f}s   speedup {r / c:6.1f}x")
-    print(f"TOTAL  : columnar {total_c:8.2f}s   rowloop {total_r:8.2f}s   "
-          f"speedup {total_r / total_c:6.1f}x")
-    print(json.dumps({"n": n, **{k: round(v, 3) for k, v in results.items()},
-                      "speedup_total": round(total_r / total_c, 2)}))
+    if columnar_only:
+        print(f"TOTAL  : columnar {total_c:8.2f}s")
+        print(json.dumps({"n": n, **{k: round(v, 3) for k, v in results.items()},
+                          "total_columnar": round(total_c, 2)}))
+    else:
+        print(f"TOTAL  : columnar {total_c:8.2f}s   rowloop {total_r:8.2f}s   "
+              f"speedup {total_r / total_c:6.1f}x")
+        print(json.dumps({"n": n, **{k: round(v, 3) for k, v in results.items()},
+                          "speedup_total": round(total_r / total_c, 2)}))
 
 
 if __name__ == "__main__":
