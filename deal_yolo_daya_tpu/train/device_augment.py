@@ -126,7 +126,7 @@ def _shift_rows(img: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     w = img.shape[1]
     d = jnp.clip(delta, 0.0, w - 1.0)
     k = jnp.floor(d)
-    f = (d - k)[:, None, None]
+    f = (d - k)[:, None, None].astype(img.dtype)
     out = img * (1.0 - f) + jnp.concatenate([img[:, 1:], img[:, -1:]], 1) * f
     k = k.astype(jnp.int32)
     b = 1
@@ -284,20 +284,24 @@ def _mosaic_one(
             ra_q = ra + qA * origin_y - origin_x          # (4,)
             wb_q = wb - origin_y                          # (4,)
             fs = jnp.float32(s)
+            bf = jnp.bfloat16  # pixel data: +-1/255 error is invisible in an
+            # augmentation; halves the shift-chain HBM traffic
             # pass H over source rows
             r0h = ra_q + jnp.minimum(0.0, qA * (fs - 1.0))
             delta_h = qA * ys[None, :] + (ra_q - r0h)[:, None]       # (4, S)
-            shifted = jax.vmap(_shift_rows)(srcs, delta_h)
+            shifted = jax.vmap(_shift_rows)(srcs.astype(bf), delta_h)
             bx = pA * xs[None, :] + r0h[:, None]                     # (4, S)
-            wxg = jax.vmap(lambda c: _axis_weights(c, s))(bx)
+            wxg = jax.vmap(lambda c: _axis_weights(c, s))(bx).astype(bf)
             h_out = jnp.einsum("qxw,qywc->qyxc", wxg, shifted)
             # pass V over columns of the H output
             r0v = wb_q + jnp.minimum(0.0, i10 * (fs - 1.0))
             delta_v = i10 * xs[None, :] + (wb_q - r0v)[:, None]      # (4, S)
             shifted_v = jax.vmap(_shift_cols)(h_out, delta_v)
             by = i11 * ys[None, :] + r0v[:, None]
-            wyg = jax.vmap(lambda c: _axis_weights(c, s))(by)
-            sampled = jnp.einsum("qoy,qyxc->qoxc", wyg, shifted_v)
+            wyg = jax.vmap(lambda c: _axis_weights(c, s))(by).astype(bf)
+            sampled = jnp.einsum("qoy,qyxc->qoxc", wyg, shifted_v).astype(
+                jnp.float32
+            )
         else:
             # large-angle fallback: exact per-pixel gather (slow on TPU)
             sampled = jax.vmap(_bilinear_sample)(srcs, src_x4, src_y4)
