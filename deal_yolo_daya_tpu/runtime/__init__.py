@@ -114,6 +114,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.splice_items.restype = None
+        lib.match_predictions.argtypes = [
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ]
+        lib.match_predictions.restype = None
         _LIB = lib
         return _LIB
 
@@ -196,6 +208,30 @@ def rewrite_ptlists_native(
         if out_len[i] >= 0 else None
         for i in range(n)
     ]
+
+
+def match_predictions_native(
+    pred_boxes: np.ndarray, pred_cls: np.ndarray,
+    gt_boxes: np.ndarray, gt_cls: np.ndarray,
+    thresholds: np.ndarray,
+) -> Optional[np.ndarray]:
+    """(n_pred, T) bool TP matrix, bit-identical to the numpy reference in
+    train/metrics.py (same pair order + stable-desc tie rule). None when the
+    native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(pred_boxes, np.float32).reshape(-1, 4)
+    g = np.ascontiguousarray(gt_boxes, np.float32).reshape(-1, 4)
+    pc = np.ascontiguousarray(pred_cls, np.int32).reshape(-1)
+    gc = np.ascontiguousarray(gt_cls, np.int32).reshape(-1)
+    thr = np.ascontiguousarray(thresholds, np.float32).reshape(-1)
+    out = np.zeros((len(p), len(thr)), np.uint8)
+    lib.match_predictions(
+        p.reshape(-1), pc, len(p), g.reshape(-1), gc, len(g), thr,
+        len(thr), out.reshape(-1),
+    )
+    return out.astype(bool)
 
 
 def splice_items_native(

@@ -1222,3 +1222,56 @@ void splice_items(const char** rows, const int64_t* item_row, int64_t n_items,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Val-loop matcher (train/metrics.py::match_predictions, bit-identical):
+// out[p*T + t] = 1 iff pred p greedily matches a same-class GT at IoU
+// threshold thr[t]. Pair order/tie rules replicate the numpy reference:
+// candidate pairs in (gt-major, pred-minor) row order, stable-sorted by
+// descending IoU, first-come-first-matched. Host-side val matching was the
+// @640 epoch tail's biggest cost (~0.8 s / 300 images, PERF.md round 3).
+void match_predictions(const float* pred_boxes, const int32_t* pred_cls,
+                       int64_t n_pred, const float* gt_boxes,
+                       const int32_t* gt_cls, int64_t n_gt,
+                       const float* thr, int n_thr, uint8_t* out) {
+  memset(out, 0, (size_t)(n_pred * n_thr));
+  if (n_pred == 0 || n_gt == 0) return;
+  std::vector<float> iou((size_t)(n_gt * n_pred), 0.0f);
+  for (int64_t g = 0; g < n_gt; ++g) {
+    const float* gb = gt_boxes + g * 4;
+    float ga = (gb[2] - gb[0]) * (gb[3] - gb[1]);
+    for (int64_t p = 0; p < n_pred; ++p) {
+      if (gt_cls[g] != pred_cls[p]) continue;
+      const float* pb = pred_boxes + p * 4;
+      float x1 = std::max(gb[0], pb[0]), y1 = std::max(gb[1], pb[1]);
+      float x2 = std::min(gb[2], pb[2]), y2 = std::min(gb[3], pb[3]);
+      float inter = std::max(x2 - x1, 0.0f) * std::max(y2 - y1, 0.0f);
+      float pa = (pb[2] - pb[0]) * (pb[3] - pb[1]);
+      iou[(size_t)(g * n_pred + p)] = inter / (ga + pa - inter + 1e-7f);
+    }
+  }
+  std::vector<int64_t> order;
+  std::vector<uint8_t> seen_gt(n_gt), seen_pred(n_pred);
+  for (int t = 0; t < n_thr; ++t) {
+    float th = thr[t];
+    order.clear();
+    for (int64_t i = 0; i < n_gt * n_pred; ++i)
+      if (iou[(size_t)i] >= th) order.push_back(i);
+    if (order.empty()) continue;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return iou[(size_t)a] > iou[(size_t)b];
+    });
+    std::fill(seen_gt.begin(), seen_gt.end(), 0);
+    std::fill(seen_pred.begin(), seen_pred.end(), 0);
+    for (int64_t i : order) {
+      int64_t g = i / n_pred, p = i % n_pred;
+      if (seen_gt[g] || seen_pred[p]) continue;
+      seen_gt[g] = 1;
+      seen_pred[p] = 1;
+      out[p * n_thr + t] = 1;
+    }
+  }
+}
+
+}  // extern "C"

@@ -1004,8 +1004,9 @@ class Trainer:
                 m = gtm[i]
                 det_metrics.update(pb[i, :n], osc[i, :n], ocl[i, :n],
                                    gb[i][m], batch.gt_classes[i][: len(m)][m])
-                cm_preds.append((pb[i, :n], osc[i, :n], ocl[i, :n]))
-                cm_gts.append((gb[i][m], batch.gt_classes[i][: len(m)][m]))
+                if save_artifacts:  # the confusion matrix only plots then
+                    cm_preds.append((pb[i, :n], osc[i, :n], ocl[i, :n]))
+                    cm_gts.append((gb[i][m], batch.gt_classes[i][: len(m)][m]))
             if save_artifacts and batches_saved < 3:
                 self.run.save_val_batch_predictions(
                     batch.images, ob, osc, ocl, nd, self.names,

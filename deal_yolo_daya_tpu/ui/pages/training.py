@@ -274,7 +274,12 @@ def render_training_platform():
         help="auto：单设备+device_augment 时数据集常驻 HBM（消除逐步上传，"
              "约 20x epoch 速率）；ram：主机内存缓存解码图",
     )
-    do_val = c4.checkbox("val(每epoch验证)", value=True, key="train_val")
+    do_val = c4.checkbox("val(启用验证)", value=True, key="train_val")
+    val_period = c4.number_input(
+        "val_period(每N个epoch)", 1, 100, 1, key="train_val_period",
+        help="每 N 个 epoch 验证一次（最后一个 epoch 始终验证）；@640 下验证"
+             "约占 epoch 墙钟的三分之一，拉大周期可显著提升吞吐",
+    )
 
     with st.expander("数据增强 / 损失增益", expanded=False):
         c1, c2, c3, c4 = st.columns(4)
@@ -329,6 +334,7 @@ def render_training_platform():
             "cache": {"auto": None, "off": False, "ram": True,
                       "device": "device"}[cache],
             "val": bool(do_val),
+            "val_period": int(val_period),
             "mosaic": float(mosaic), "mixup": float(mixup),
             "scale": float(scale_a), "translate": float(translate),
             "degrees": float(degrees), "shear": float(shear),

@@ -153,3 +153,35 @@ def test_native_rewrite_matches_python_splice():
         data = json.loads(text)
         for obj in data["objects"]:
             assert len(obj["polygon"]["ptList"]) == 2
+
+
+def test_native_matcher_matches_numpy():
+    """The C++ val matcher must reproduce the numpy greedy matcher exactly
+    (same pair order, same stable-descending tie rule)."""
+    import deal_yolo_daya_tpu.runtime as rt
+    from deal_yolo_daya_tpu.train import metrics as M
+
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        n_pred = int(rng.integers(0, 40))
+        n_gt = int(rng.integers(0, 12))
+        pb = rng.uniform(0, 80, (n_pred, 4)).astype(np.float32)
+        pb[:, 2:] += pb[:, :2]
+        gb = rng.uniform(0, 80, (n_gt, 4)).astype(np.float32)
+        gb[:, 2:] += gb[:, :2]
+        # overlap some preds with gts so matches actually occur
+        for k in range(min(n_pred, n_gt)):
+            pb[k] = gb[k] + rng.normal(0, 3, 4).astype(np.float32)
+        pc = rng.integers(0, 3, n_pred).astype(np.int32)
+        gc = rng.integers(0, 3, n_gt).astype(np.int32)
+        native = rt.match_predictions_native(
+            pb, pc, gb, gc, M.IOU_THRESHOLDS.astype(np.float32))
+        if native is None:
+            pytest.skip("native lib unavailable")
+        orig = rt.match_predictions_native
+        rt.match_predictions_native = lambda *a, **k: None
+        try:
+            ref = M.match_predictions(pb, pc, gb, gc)
+        finally:
+            rt.match_predictions_native = orig
+        np.testing.assert_array_equal(native, ref, err_msg=f"trial {trial}")
