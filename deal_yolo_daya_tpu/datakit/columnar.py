@@ -526,68 +526,89 @@ def _py_extract_cell(raw_text: str, ordinal: int, label: str) -> str:
 
 def extract_single_objects(table: AnnTable, objs, labels) -> list:
     """Batch step-7 explosion: one output text per (object, label) pair —
-    the cell keeps only that object, renamed. The splice loop runs in C++
-    (runtime.splice_items_native); falls back to per-item extraction."""
-    from ..runtime import splice_items_native
+    the cell keeps only that object, renamed. Fully vectorized: per-item
+    edit spans assemble as (k,3) numpy stacks, unique label reps lay out once
+    in a shared blob (splice_items2's explicit rep spans), and the splice
+    loop runs in C++. Falls back to per-item extraction without the lib."""
+    from ..runtime import splice_items2_native
 
     objs = np.asarray(objs, np.int64)
     n_items = len(objs)
+    if n_items == 0:
+        return []
+    labels = np.asarray(labels, dtype=object)
+    rows = table.obj_row[objs]
+    if table.native:
+        fb = ((table.row_flags & RF_NONDICT_OBJECTS) != 0)[rows]
+    else:
+        fb = np.ones(n_items, bool)
     out: list = [None] * n_items
-    item_row = np.zeros(n_items, np.int64)
-    edit_off = [0]
-    edit_s: list = []
-    edit_e: list = []
-    reps: list = []
-    rep_off = [0]
-    native_items: list = []
-    rep_cache: dict = {}
+    for k in np.flatnonzero(fb).tolist():  # rare non-splicable rows
+        i = int(rows[k])
+        out[k] = _py_extract_cell(
+            table.raw[i].decode("utf-8"), int(objs[k] - table.obj_offsets[i]),
+            str(labels[k]),
+        )
+    idx = np.flatnonzero(~fb)
+    if not len(idx):
+        return out
+    j = objs[idx]
+    i = rows[idx]
     sp = table.spans
     osp = table.objects_span
-    for k in range(n_items):
-        j = int(objs[k])
-        i = int(table.obj_row[j])
-        if table.row_needs_fallback(i):
-            out[k] = _py_extract_cell(
-                table.raw[i].decode("utf-8"), int(j - table.obj_offsets[i]),
-                str(labels[k]),
-            )
-            continue
-        lbl = labels[k]
-        rep = rep_cache.get(lbl)
-        if rep is None:
-            rep = rep_cache[lbl] = json.dumps(
-                str(lbl), ensure_ascii=False
-            ).encode("utf-8")
-        s, e = int(sp[j, 0]), int(sp[j, 1])
-        ns, ne, nrep = _name_edit(table, j, rep)
-        edits = [
-            (int(osp[i, 0]), s, b"["),      # "...objects": [  -> "[{obj"
-            (ns, ne, nrep),                  # rename (or insert name)
-            (e, int(osp[i, 1]), b"]"),      # drop the other objects
-        ]
-        item_row[len(native_items)] = i
-        native_items.append(k)
-        for a, b, r in edits:
-            edit_s.append(a)
-            edit_e.append(b)
-            reps.append(r)
-            rep_off.append(rep_off[-1] + len(r))
-        edit_off.append(len(edit_s))
-    if native_items:
-        texts = splice_items_native(
-            table.raw, item_row[: len(native_items)],
-            np.asarray(edit_off, np.int64), np.asarray(edit_s, np.int64),
-            np.asarray(edit_e, np.int64), b"".join(reps),
-            np.asarray(rep_off, np.int64),
-        )
-        if texts is None:
-            for pos, k in enumerate(native_items):
-                out[k] = extract_single_object(
-                    table, int(objs[k]), str(labels[k])
-                )
-        else:
-            for pos, k in enumerate(native_items):
-                out[k] = texts[pos]
+    # unique label reps: named / insert / insert-into-empty-object variants
+    import pandas as pd  # hash-based factorize (np.unique would sort 2M strs)
+
+    codes, uniq = pd.factorize(labels[idx])
+    named_u = [json.dumps(str(l), ensure_ascii=False).encode("utf-8") for l in uniq]
+    pieces = (
+        [b"[", b"]"] + named_u
+        + [b'"name": ' + r + b", " for r in named_u]
+        + [b'"name": ' + r for r in named_u]
+    )
+    plen = np.fromiter(map(len, pieces), np.int64, len(pieces))
+    poff = np.zeros(len(pieces) + 1, np.int64)
+    np.cumsum(plen, out=poff[1:])
+    blob = b"".join(pieces)
+    U = len(uniq)
+    ns = sp[j, 2].astype(np.int64)
+    has_name = ns >= 0
+    obj_empty = (table.flags[j] & F_OBJ_EMPTY) != 0
+    piece_idx = np.where(
+        has_name, 2 + codes,
+        np.where(obj_empty, 2 + 2 * U + codes, 2 + U + codes),
+    )
+    e2_s = np.where(has_name, ns, sp[j, 0].astype(np.int64) + 1)
+    e2_e = np.where(has_name, sp[j, 3].astype(np.int64), e2_s)
+    k = len(idx)
+    edit_s = np.empty((k, 3), np.int64)
+    edit_e = np.empty((k, 3), np.int64)
+    rep_s = np.empty((k, 3), np.int64)
+    rep_len = np.empty((k, 3), np.int64)
+    edit_s[:, 0] = osp[i, 0]   # "...objects": [ -> "[" + this object
+    edit_e[:, 0] = sp[j, 0]
+    edit_s[:, 1] = e2_s        # rename (or insert name)
+    edit_e[:, 1] = e2_e
+    edit_s[:, 2] = sp[j, 1]    # drop the other objects
+    edit_e[:, 2] = osp[i, 1]
+    rep_s[:, 0] = 0
+    rep_len[:, 0] = 1
+    rep_s[:, 1] = poff[piece_idx]
+    rep_len[:, 1] = plen[piece_idx]
+    rep_s[:, 2] = 1
+    rep_len[:, 2] = 1
+    texts = splice_items2_native(
+        table.raw, i, np.arange(k + 1, dtype=np.int64) * 3,
+        edit_s.ravel(), edit_e.ravel(), blob, rep_s.ravel(), rep_len.ravel(),
+    )
+    if texts is None:
+        for kk in idx.tolist():
+            out[kk] = extract_single_object(table, int(objs[kk]), str(labels[kk]))
+        return out
+    if not fb.any():
+        return texts
+    for pos, kk in enumerate(idx.tolist()):
+        out[kk] = texts[pos]
     return out
 
 

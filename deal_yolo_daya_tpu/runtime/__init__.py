@@ -114,6 +114,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.splice_items.restype = None
+        lib.splice_items2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
+        lib.splice_items2.restype = None
         lib.match_predictions.argtypes = [
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -126,6 +142,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ]
         lib.match_predictions.restype = None
+        _pp = ctypes.POINTER(ctypes.c_void_p)
+        lib.sheet_xml.argtypes = [
+            ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            _pp, _pp, _pp, _pp, _pp,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.sheet_xml.restype = None
+        lib.buf_free.argtypes = [ctypes.c_void_p]
+        lib.buf_free.restype = None
         _LIB = lib
         return _LIB
 
@@ -202,11 +229,13 @@ def rewrite_ptlists_native(
         np.ascontiguousarray(obj_box, np.float64).reshape(-1),
         out, cap_off, out_len, n_threads,
     )
-    buf = out.tobytes()
+    # decode straight out of the arena: a memoryview slice per row instead of
+    # one tobytes() copy of the whole (possibly GB-sized) output buffer
+    mv = memoryview(out)
+    offs = cap_off.tolist()
     return [
-        buf[cap_off[i]:cap_off[i] + out_len[i]].decode("utf-8")
-        if out_len[i] >= 0 else None
-        for i in range(n)
+        str(mv[offs[i]:offs[i] + ln], "utf-8") if ln >= 0 else None
+        for i, ln in enumerate(out_len.tolist())
     ]
 
 
@@ -274,12 +303,128 @@ def splice_items_native(
         arr, item_row, n_items, edit_off, edit_s, edit_e, rep, rep_off,
         out, cap_off, out_len, n_threads,
     )
-    buf = out.tobytes()
+    mv = memoryview(out)
+    offs = cap_off.tolist()
     return [
-        buf[cap_off[k]:cap_off[k] + out_len[k]].decode("utf-8")
-        if out_len[k] >= 0 else None
-        for k in range(n_items)
+        str(mv[offs[k]:offs[k] + ln], "utf-8") if ln >= 0 else None
+        for k, ln in enumerate(out_len.tolist())
     ]
+
+
+def splice_items2_native(
+    encoded: Sequence,
+    item_row: np.ndarray,
+    edit_off: np.ndarray,
+    edit_s: np.ndarray,
+    edit_e: np.ndarray,
+    rep: bytes,
+    rep_s: np.ndarray,
+    rep_len: np.ndarray,
+    n_threads: Optional[int] = None,
+) -> Optional[list]:
+    """splice_items with explicit per-edit replacement spans (rep_s/rep_len
+    into one shared blob): repeated replacement texts are stored once. Same
+    return contract as splice_items_native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_items = len(item_row)
+    if n_items == 0:
+        return []
+    n = len(encoded)
+    arr = (ctypes.c_char_p * max(n, 1))(*encoded)
+    item_row = np.ascontiguousarray(item_row, np.int64)
+    edit_off = np.ascontiguousarray(edit_off, np.int64)
+    edit_s = np.ascontiguousarray(edit_s, np.int64)
+    edit_e = np.ascontiguousarray(edit_e, np.int64)
+    rep_s = np.ascontiguousarray(rep_s, np.int64)
+    rep_len = np.ascontiguousarray(rep_len, np.int64)
+    row_len = np.array([len(e) if e else 0 for e in encoded], np.int64)
+    rl_cum = np.zeros(len(rep_len) + 1, np.int64)
+    np.cumsum(rep_len, out=rl_cum[1:])
+    item_rep = rl_cum[edit_off[1:]] - rl_cum[edit_off[:-1]]
+    cap = row_len[item_row] + item_rep + 8  # removals only shrink
+    cap_off = np.zeros(n_items + 1, np.int64)
+    np.cumsum(cap, out=cap_off[1:])
+    out = np.zeros(max(int(cap_off[-1]), 1), np.uint8)
+    out_len = np.full(n_items, -1, np.int64)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.splice_items2(
+        arr, item_row, n_items, edit_off, edit_s, edit_e, rep, rep_s, rep_len,
+        out, cap_off, out_len, n_threads,
+    )
+    mv = memoryview(out)
+    offs = cap_off.tolist()
+    return [
+        str(mv[offs[k]:offs[k] + ln], "utf-8") if ln >= 0 else None
+        for k, ln in enumerate(out_len.tolist())
+    ]
+
+
+# column kinds for sheet_xml_native (must match labelscan.cpp::sheet_xml)
+XLSX_STR, XLSX_F64, XLSX_I64, XLSX_BOOL, XLSX_RAW = 0, 1, 2, 3, 4
+
+
+def sheet_xml_native(
+    nrows: int,
+    col_specs: Sequence[dict],
+    header: bytes,
+    first_row: int,
+) -> Optional[bytes]:
+    """Emit a whole worksheet XML part natively (labelscan.cpp::sheet_xml).
+
+    Each col spec is a dict with ``kind`` (XLSX_*) plus, by kind:
+    - str/raw: ``blob`` (int address of utf-8 bytes), ``off`` (int address of
+      int64 offsets[nrows+1]); the caller keeps the owning buffers alive.
+    - f64: ``f64`` float64 ndarray (NaN = empty cell).
+    - i64/bool: ``i64`` int64 ndarray.
+    Any kind may carry ``valid`` (uint8 ndarray; 0 = empty cell).
+    Returns the XML bytes, or None when the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    ncols = len(col_specs)
+    kinds = np.zeros(max(ncols, 1), np.uint8)
+    blob_p = (ctypes.c_void_p * max(ncols, 1))()
+    off_p = (ctypes.c_void_p * max(ncols, 1))()
+    valid_p = (ctypes.c_void_p * max(ncols, 1))()
+    f64_p = (ctypes.c_void_p * max(ncols, 1))()
+    i64_p = (ctypes.c_void_p * max(ncols, 1))()
+    keep = []  # keep ndarray refs alive through the call
+    for c, spec in enumerate(col_specs):
+        kinds[c] = spec["kind"]
+        if spec.get("blob") is not None:
+            blob_p[c] = spec["blob"]
+            off_p[c] = spec["off"]
+        va = spec.get("valid")
+        if va is not None:
+            va = np.ascontiguousarray(va, np.uint8)
+            keep.append(va)
+            valid_p[c] = va.ctypes.data
+        fa = spec.get("f64")
+        if fa is not None:
+            fa = np.ascontiguousarray(fa, np.float64)
+            keep.append(fa)
+            f64_p[c] = fa.ctypes.data
+        ia = spec.get("i64")
+        if ia is not None:
+            ia = np.ascontiguousarray(ia, np.int64)
+            keep.append(ia)
+            i64_p[c] = ia.ctypes.data
+    out_ptr = ctypes.c_void_p()
+    out_len = ctypes.c_int64()
+    lib.sheet_xml(
+        nrows, ncols, kinds, blob_p, off_p, valid_p, f64_p, i64_p,
+        header, len(header), first_row,
+        ctypes.byref(out_ptr), ctypes.byref(out_len),
+    )
+    try:
+        return ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.buf_free(out_ptr)
+        del keep
 
 
 def scan_annotations_native(rows: Sequence, n_threads: Optional[int] = None):

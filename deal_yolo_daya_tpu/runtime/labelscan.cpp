@@ -1221,6 +1221,44 @@ void splice_items(const char** rows, const int64_t* item_row, int64_t n_items,
   for (auto& th : threads) th.join();
 }
 
+// splice_items with EXPLICIT per-edit replacement spans (rep_s[e], rep_len[e]
+// into rep) instead of a contiguous rep blob. Repeated replacement texts
+// (e.g. step-7's per-label name reps over millions of exploded rows) are laid
+// out once and referenced by every edit, so the caller never materializes a
+// per-item blob.
+void splice_items2(const char** rows, const int64_t* item_row, int64_t n_items,
+                   const int64_t* edit_off, const int64_t* edit_s,
+                   const int64_t* edit_e, const char* rep,
+                   const int64_t* rep_s, const int64_t* rep_len, char* out,
+                   const int64_t* cap_off, int64_t* out_len, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t start, int64_t end) {
+    for (int64_t k = start; k < end; ++k) {
+      const char* raw = rows[item_row[k]];
+      if (raw == nullptr) { out_len[k] = -1; continue; }
+      int64_t raw_len = (int64_t)strlen(raw);
+      char* w = out + cap_off[k];
+      int64_t pos = 0;
+      for (int64_t e = edit_off[k]; e < edit_off[k + 1]; ++e) {
+        memcpy(w, raw + pos, edit_s[e] - pos); w += edit_s[e] - pos;
+        memcpy(w, rep + rep_s[e], rep_len[e]); w += rep_len[e];
+        pos = edit_e[e];
+      }
+      memcpy(w, raw + pos, raw_len - pos); w += raw_len - pos;
+      out_len[k] = (w - out) - cap_off[k];
+    }
+  };
+  if (n_threads == 1 || n_items < 1024) { work(0, n_items); return; }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n_items + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t s = t * chunk, e = std::min<int64_t>(s + chunk, n_items);
+    if (s >= e) break;
+    threads.emplace_back(work, s, e);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"
 
 extern "C" {
@@ -1273,5 +1311,202 @@ void match_predictions(const float* pred_boxes, const int32_t* pred_cls,
     }
   }
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native xlsx sheet-XML writer. Sheet-XML generation in Python was the
+// dominant cost of the 1M-row split bench (utils/xlsx.py::_sheet_xml —
+// per-cell conditional formatting over millions of cells). This emits the
+// whole <sheetData> body in one pass from columnar inputs; cell-text
+// semantics are byte-identical to the Python writer (inlineStr with
+// xml:space for edge whitespace, repr() numbers, t="b" bools).
+// ---------------------------------------------------------------------------
+
+#include <string>
+
+namespace xlsxw {
+
+// Python repr() for a finite double: like rewrite::fmt_num but integral
+// values keep their ".0" (repr(5.0) == "5.0"; json.dumps(int) semantics in
+// fmt_num print "5"). -0.0 reprs as "-0.0".
+inline int fmt_repr(double v, char* out) {
+  if (v == std::floor(v) && std::fabs(v) < 9007199254740992.0) {  // 2^53
+    char* w = out;
+    if (std::signbit(v) && v == 0.0) { *w++ = '-'; }
+    int n = snprintf(w, 24, "%lld", (long long)v);
+    w += n;
+    *w++ = '.'; *w++ = '0';
+    return (int)(w - out);
+  }
+  return rewrite::fmt_num(v, out);  // non-integral: identical digit logic
+}
+
+inline bool is_ws(char ch) {
+  return ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r';
+}
+
+// append text with XML escaping (&, <, >, ") — same set the Python writer
+// escapes (_xml_escape in utils/xlsx.py)
+inline void append_escaped(std::string& s, const char* p, int64_t len) {
+  const char* end = p + len;
+  const char* run = p;
+  for (; p < end; ++p) {
+    const char* rep = nullptr;
+    int rl = 0;
+    switch (*p) {
+      case '&': rep = "&amp;"; rl = 5; break;
+      case '<': rep = "&lt;"; rl = 4; break;
+      case '>': rep = "&gt;"; rl = 4; break;
+      case '"': rep = "&quot;"; rl = 6; break;
+      default: continue;
+    }
+    s.append(run, p - run);
+    s.append(rep, rl);
+    run = p + 1;
+  }
+  s.append(run, end - run);
+}
+
+}  // namespace xlsxw
+
+extern "C" {
+
+// Emit the full worksheet XML for one sheet. Columns are typed:
+//   kind 0 = utf-8 string (blob + offsets[nrows+1], valid mask)
+//   kind 1 = float64 (NaN -> empty cell; +-inf -> inlineStr str(v))
+//   kind 2 = int64 (valid mask; <v>digits</v>)
+//   kind 3 = bool (int64 0/1 values, valid mask; t="b")
+//   kind 4 = raw  (blob + offsets: pre-rendered full cell XML, e.g. the
+//                  Python fallback for exotic value types)
+// header_xml (may be empty) is inserted verbatim before the data rows, which
+// number from first_row. The result is heap-allocated into *out (length
+// *out_len); free with buf_free.
+void sheet_xml(int64_t nrows, int32_t ncols, const uint8_t* col_kind,
+               const char* const* col_blob, const int64_t* const* col_off,
+               const uint8_t* const* col_valid, const double* const* col_f64,
+               const int64_t* const* col_i64, const char* header_xml,
+               int64_t header_len, int64_t first_row, char** out,
+               int64_t* out_len) {
+  static const char kHead[] =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+      "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/"
+      "2006/main\"><sheetData>";
+  static const char kTail[] = "</sheetData></worksheet>";
+
+  // spreadsheet column letters (0 -> A, 26 -> AA)
+  std::vector<std::string> letters((size_t)std::max<int32_t>(ncols, 0));
+  for (int32_t c = 0; c < ncols; ++c) {
+    std::string L;
+    int64_t idx = c + 1;
+    while (idx > 0) {
+      int64_t rem;
+      idx -= 1;
+      rem = idx % 26;
+      idx /= 26;
+      L.insert(L.begin(), (char)('A' + rem));
+    }
+    letters[c] = L;
+  }
+
+  std::string s;
+  // capacity guess: fixed head/tail + header + ~48 B/cell + string payloads
+  size_t guess = sizeof(kHead) + sizeof(kTail) + (size_t)header_len +
+                 (size_t)nrows * ((size_t)ncols * 48 + 24);
+  for (int32_t c = 0; c < ncols; ++c)
+    if (col_off && col_off[c]) guess += (size_t)col_off[c][nrows];
+  s.reserve(guess);
+
+  s.append(kHead, sizeof(kHead) - 1);
+  if (header_len > 0) s.append(header_xml, (size_t)header_len);
+
+  char num[40];
+  char rownum[24];
+  for (int64_t r = 0; r < nrows; ++r) {
+    int rn_len = snprintf(rownum, sizeof(rownum), "%lld",
+                          (long long)(first_row + r));
+    s.append("<row r=\"", 8);
+    s.append(rownum, rn_len);
+    s.append("\">", 2);
+    for (int32_t c = 0; c < ncols; ++c) {
+      const uint8_t* valid = col_valid ? col_valid[c] : nullptr;
+      if (valid && !valid[r]) continue;
+      const std::string& L = letters[c];
+      switch (col_kind[c]) {
+        case 0: {  // string -> inlineStr
+          const char* blob = col_blob[c];
+          int64_t a = col_off[c][r], b = col_off[c][r + 1];
+          bool edge_ws =
+              (b > a) && (xlsxw::is_ws(blob[a]) || xlsxw::is_ws(blob[b - 1]));
+          s.append("<c r=\"", 6);
+          s.append(L);
+          s.append(rownum, rn_len);
+          if (edge_ws)
+            s.append("\" t=\"inlineStr\"><is><t xml:space=\"preserve\">", 44);
+          else
+            s.append("\" t=\"inlineStr\"><is><t>", 23);
+          xlsxw::append_escaped(s, blob + a, b - a);
+          s.append("</t></is></c>", 13);
+          break;
+        }
+        case 1: {  // float64
+          double v = col_f64[c][r];
+          if (std::isnan(v)) break;  // empty cell
+          if (std::isinf(v)) {       // str(float('inf')) text cell
+            s.append("<c r=\"", 6);
+            s.append(L);
+            s.append(rownum, rn_len);
+            s.append("\" t=\"inlineStr\"><is><t>", 23);
+            s.append(v > 0 ? "inf" : "-inf");
+            s.append("</t></is></c>", 13);
+            break;
+          }
+          int nl = xlsxw::fmt_repr(v, num);
+          s.append("<c r=\"", 6);
+          s.append(L);
+          s.append(rownum, rn_len);
+          s.append("\"><v>", 5);
+          s.append(num, nl);
+          s.append("</v></c>", 8);
+          break;
+        }
+        case 2: {  // int64
+          int nl = snprintf(num, sizeof(num), "%lld",
+                            (long long)col_i64[c][r]);
+          s.append("<c r=\"", 6);
+          s.append(L);
+          s.append(rownum, rn_len);
+          s.append("\"><v>", 5);
+          s.append(num, nl);
+          s.append("</v></c>", 8);
+          break;
+        }
+        case 3: {  // bool
+          s.append("<c r=\"", 6);
+          s.append(L);
+          s.append(rownum, rn_len);
+          s.append("\" t=\"b\"><v>", 11);
+          s.push_back(col_i64[c][r] ? '1' : '0');
+          s.append("</v></c>", 8);
+          break;
+        }
+        case 4: {  // raw pre-rendered cell XML
+          int64_t a = col_off[c][r], b = col_off[c][r + 1];
+          s.append(col_blob[c] + a, (size_t)(b - a));
+          break;
+        }
+      }
+    }
+    s.append("</row>", 6);
+  }
+  s.append(kTail, sizeof(kTail) - 1);
+
+  char* buf = (char*)malloc(s.size());
+  memcpy(buf, s.data(), s.size());
+  *out = buf;
+  *out_len = (int64_t)s.size();
+}
+
+void buf_free(char* p) { free(p); }
 
 }  // extern "C"

@@ -151,6 +151,158 @@ def _sheet_xml(df: pd.DataFrame, header: bool = True, index: bool = False) -> st
     )
 
 
+_EMPTY_BLOB = b"\x00"  # stand-in data pointer for all-empty string columns
+
+
+def _addr_of(b: bytes) -> int:
+    import ctypes
+
+    return ctypes.cast(b, ctypes.c_void_p).value or 0
+
+
+def _native_col_spec(values, letter: str, row_strs: List[str]):
+    """Classify one output column for the native sheet writer.
+
+    Returns (spec_dict, keepalive_list). Exact-parity rules with the Python
+    cell formatter decide the kind; anything exotic (mixed types, numpy
+    scalars in object cells, timestamps) renders per-cell in Python and ships
+    as a pre-rendered RAW column.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..runtime import XLSX_BOOL, XLSX_F64, XLSX_I64, XLSX_RAW, XLSX_STR
+
+    def raw_spec(cells):
+        enc = [
+            _cell_xml(f"{letter}{R}", v).encode("utf-8")
+            for R, v in zip(row_strs, cells)
+        ]
+        off = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum([len(e) for e in enc], out=off[1:])
+        blob = b"".join(enc) or _EMPTY_BLOB
+        return (
+            {"kind": XLSX_RAW, "blob": _addr_of(blob), "off": off.ctypes.data},
+            [blob, off],
+        )
+
+    obj = None  # object ndarray view, materialized only when needed
+    if isinstance(values, pd.Series):
+        dt = values.dtype
+        # plain-numpy fast paths (no nulls possible / NaN self-describes)
+        if dt == bool:
+            return {"kind": XLSX_BOOL, "i64": values.to_numpy().astype(np.int64)}, []
+        if isinstance(dt, np.dtype) and dt.kind in "iu":
+            return {"kind": XLSX_I64, "i64": values.to_numpy(np.int64)}, []
+        if isinstance(dt, np.dtype) and dt.kind == "f":
+            return {"kind": XLSX_F64, "f64": values.to_numpy(np.float64)}, []
+        # a typed (non-object) pandas dtype guarantees cell types; object
+        # columns must be verified cell-by-cell for formatter parity
+        trusted = not (isinstance(dt, np.dtype) and dt == object)
+        if not trusted:
+            obj = values.to_numpy(dtype=object)
+        try:
+            arr = pa.array(obj if obj is not None else values, from_pandas=True)
+        except Exception:
+            return raw_spec(values.to_numpy(dtype=object))
+    else:  # plain object ndarray
+        obj = values
+        trusted = False
+        try:
+            arr = pa.array(obj, from_pandas=True)
+        except Exception:
+            return raw_spec(obj)
+
+    def exact(py_type) -> bool:
+        if trusted:
+            return True
+        for v in obj:
+            if type(v) is py_type or v is None:
+                continue
+            if type(v) is float and v != v:  # NaN null
+                continue
+            return False
+        return True
+
+    def fallback():
+        return raw_spec(obj if obj is not None else values.to_numpy(dtype=object))
+
+    def valid_mask():
+        if not arr.null_count:
+            return None
+        return arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+
+    t = arr.type
+    if pa.types.is_null(t):  # all-None column: every cell empty
+        return {"kind": XLSX_F64, "f64": np.full(len(arr), np.nan)}, []
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        if not exact(str):
+            return fallback()
+        arr = arr.cast(pa.large_string())
+        if arr.offset:  # unexpected for a fresh array; stay exact
+            return fallback()
+        bufs = arr.buffers()  # [validity, offsets(int64 x n+1), data]
+        blob = bufs[2]
+        return (
+            {
+                "kind": XLSX_STR,
+                "blob": blob.address if blob is not None else _addr_of(_EMPTY_BLOB),
+                "off": bufs[1].address,
+                "valid": valid_mask(),
+            },
+            [arr, bufs],
+        )
+    if pa.types.is_integer(t) and exact(int):
+        valid = valid_mask()
+        vals = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+        return {"kind": XLSX_I64, "i64": vals, "valid": valid}, []
+    if pa.types.is_floating(t) and exact(float):
+        vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return {"kind": XLSX_F64, "f64": vals}, []
+    if pa.types.is_boolean(t) and exact(bool):
+        valid = valid_mask()
+        vals = arr.fill_null(False).to_numpy(zero_copy_only=False).astype(np.int64)
+        return {"kind": XLSX_BOOL, "i64": vals, "valid": valid}, []
+    return fallback()
+
+
+def _sheet_part(df: pd.DataFrame, header: bool = True, index: bool = False) -> bytes:
+    """Worksheet XML bytes: native writer when available, Python fallback."""
+    from ..runtime import sheet_xml_native
+
+    try:
+        n = len(df)
+        first_row = 2 if header else 1
+        header_xml = b""
+        if header:
+            head = (list(map(str, df.index.names)) if index else []) + [
+                str(c) for c in df.columns
+            ]
+            if index and head[: df.index.nlevels] == ["None"]:
+                head[0] = ""
+            cells = [_cell_xml(f"{_col_letter(c)}1", v) for c, v in enumerate(head)]
+            header_xml = ('<row r="1">' + "".join(cells) + "</row>").encode("utf-8")
+        series: List = []
+        if index:
+            for lev in range(df.index.nlevels):
+                series.append(pd.Series(df.index.get_level_values(lev)))
+        for c in df.columns:
+            series.append(df[c])
+        row_strs = [str(first_row + i) for i in range(n)]
+        specs, keep = [], []
+        for ci, s in enumerate(series):
+            spec, ka = _native_col_spec(s, _col_letter(ci), row_strs)
+            specs.append(spec)
+            keep.extend(ka)
+        out = sheet_xml_native(n, specs, header_xml, first_row)
+        del keep
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return _sheet_xml(df, header=header, index=index).encode("utf-8")
+
+
 def write_workbook(
     path: Union[str, Path],
     sheets: Dict[str, pd.DataFrame],
@@ -201,7 +353,7 @@ def write_workbook(
         zf.writestr("xl/workbook.xml", workbook_xml)
         zf.writestr("xl/_rels/workbook.xml.rels", workbook_rels)
         for i, name in enumerate(names):
-            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_xml(sheets[name], index=index))
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_part(sheets[name], index=index))
     return path
 
 

@@ -73,3 +73,50 @@ def test_excel_writer_context(tmp_path):
         w.write(pd.DataFrame({"a": [1]}), sheet_name="s1")
         w.write(pd.DataFrame({"b": [2]}), sheet_name="s2")
     assert xlsx.sheet_names(path) == ["s1", "s2"]
+
+
+# ---------------------------------------------------------------------------
+# Native sheet writer parity (labelscan.cpp::sheet_xml vs the Python writer)
+# ---------------------------------------------------------------------------
+
+
+NATIVE_PARITY_FRAMES = [
+    # typed columns with every cell-format edge the Python writer handles
+    pd.DataFrame({
+        "s": ["猫,狗", " lead", "trail\t", "", None, 'a&b<c>"d', "multi\nline", "x" * 50],
+        "f": [1.5, float("nan"), float("inf"), float("-inf"), 5.0, -0.0, 1e16, 1.23456789012345e-7],
+        "i": np.arange(8, dtype=np.int64) * 123456789,
+        "b": [True, False] * 4,
+    }),
+    # object column with mixed types -> per-cell RAW fallback
+    pd.DataFrame({"o": [1, 2.5, "str", None, float("nan"), True, 7, "，分隔"]}),
+    pd.DataFrame(index=range(3)),  # zero columns, row tags only
+    pd.DataFrame(),  # fully empty
+    pd.DataFrame({"t": pd.to_datetime(["2024-01-01", "2025-06-15"]),
+                  "c": pd.Categorical(["x", "y"])}),  # exotic dtypes
+    pd.DataFrame({"s": pd.array(["a", None, "b"], dtype="str"),
+                  "n": pd.array([1, None, 3], dtype="float64")}),
+    pd.DataFrame({"oi": np.array([1, 2, 3], dtype=object),
+                  "of": np.array([1.0, None, float("nan")], dtype=object),
+                  "on": [None, None, None]}),
+]
+
+
+@pytest.mark.parametrize("idx", range(len(NATIVE_PARITY_FRAMES)))
+def test_native_sheet_writer_parity(idx):
+    from deal_yolo_daya_tpu.runtime import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    df = NATIVE_PARITY_FRAMES[idx]
+    assert xlsx._sheet_part(df) == xlsx._sheet_xml(df).encode("utf-8")
+
+
+def test_native_sheet_writer_parity_with_index():
+    from deal_yolo_daya_tpu.runtime import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    df = pd.DataFrame({"v": [1.0, 2.0]}, index=pd.Index(["a", "b"], name="idx"))
+    got = xlsx._sheet_part(df, index=True)
+    assert got == xlsx._sheet_xml(df, index=True).encode("utf-8")
