@@ -427,79 +427,109 @@ def _py_rename_cell(raw_text: str, renames: dict) -> str:
     return json.dumps(data, ensure_ascii=False)
 
 
-def _name_edit(table: AnnTable, j: int, rep: bytes):
-    """(start, end, replacement) byte edit setting object j's name to the
-    pre-encoded JSON string ``rep`` (insert when the name key is absent)."""
+def _name_edit_arrays(table: AnnTable, j: np.ndarray, labels: np.ndarray,
+                      extra: list = ()):
+    """Vectorized _name_edit over object indices ``j`` with new names
+    ``labels``: returns per-item (edit_s, edit_e, rep_s, rep_len) plus the
+    shared replacement blob. Unique labels lay out once (three variants:
+    named / insert / insert-into-empty-object); ``extra`` byte pieces prepend
+    to the blob for the caller's own edits."""
+    import pandas as pd  # hash-based factorize (np.unique would sort 2M strs)
+
     sp = table.spans
-    s, e = int(sp[j, 2]), int(sp[j, 3])
-    if s >= 0:
-        return s, e, rep
-    pos = int(sp[j, 0]) + 1
-    ins = b'"name": ' + rep
-    if not (int(table.flags[j]) & F_OBJ_EMPTY):
-        ins += b", "
-    return pos, pos, ins
+    codes, uniq = pd.factorize(labels)
+    named_u = [json.dumps(str(l), ensure_ascii=False).encode("utf-8") for l in uniq]
+    pieces = (
+        list(extra) + named_u
+        + [b'"name": ' + r + b", " for r in named_u]
+        + [b'"name": ' + r for r in named_u]
+    )
+    plen = np.fromiter(map(len, pieces), np.int64, len(pieces))
+    poff = np.zeros(len(pieces) + 1, np.int64)
+    np.cumsum(plen, out=poff[1:])
+    blob = b"".join(pieces)
+    U = len(uniq)
+    E = len(extra)
+    ns = sp[j, 2].astype(np.int64)
+    has_name = ns >= 0
+    obj_empty = (table.flags[j] & F_OBJ_EMPTY) != 0
+    piece_idx = np.where(
+        has_name, E + codes,
+        np.where(obj_empty, E + 2 * U + codes, E + U + codes),
+    )
+    e_s = np.where(has_name, ns, sp[j, 0].astype(np.int64) + 1)
+    e_e = np.where(has_name, sp[j, 3].astype(np.int64), e_s)
+    return e_s, e_e, poff[piece_idx], plen[piece_idx], blob
+
+
+def apply_renames_at(table: AnnTable, objs, labels):
+    """Rewrite object names: ``objs`` (ascending object indices) get
+    ``labels``. Returns ``(row_indices, texts)`` for every changed row —
+    the vectorized core of apply_renames (no per-object Python loop)."""
+    from ..runtime import splice_items2_native
+
+    objs = np.asarray(objs, np.int64)
+    if len(objs) == 0:
+        return np.zeros(0, np.int64), []
+    labels = np.asarray(labels, dtype=object)
+    rows = table.obj_row[objs]
+    if table.native:
+        fb = ((table.row_flags & RF_NONDICT_OBJECTS) != 0)[rows]
+    else:
+        fb = np.ones(len(objs), bool)
+    out_rows: list = []
+    out_texts: list = []
+    if fb.any():  # rare non-splicable rows: python rewrite per row
+        py_rows: dict = {}
+        base = table.obj_offsets
+        for k in np.flatnonzero(fb).tolist():
+            i = int(rows[k])
+            py_rows.setdefault(i, {})[int(objs[k] - base[i])] = labels[k]
+        for i, renames in py_rows.items():
+            out_rows.append(i)
+            out_texts.append(
+                _py_rename_cell(table.raw[i].decode("utf-8"), renames)
+            )
+    idx = np.flatnonzero(~fb)
+    if not len(idx):
+        return np.asarray(out_rows, np.int64), out_texts
+    j = objs[idx]
+    i_rows = rows[idx]
+    e_s, e_e, rep_s, rep_len, blob = _name_edit_arrays(table, j, labels[idx])
+    # objs ascending => i_rows nondecreasing: contiguous runs = items
+    starts = np.flatnonzero(np.r_[True, i_rows[1:] != i_rows[:-1]])
+    item_row = i_rows[starts]
+    edit_off = np.append(starts, len(idx)).astype(np.int64)
+    texts = splice_items2_native(
+        table.raw, item_row, edit_off, e_s, e_e, blob, rep_s, rep_len
+    )
+    if texts is None:  # no native lib: per-row python splice
+        el, sl, rl = edit_off.tolist(), e_s.tolist(), e_e.tolist()
+        for k, i in enumerate(item_row.tolist()):
+            lo, hi = el[k], el[k + 1]
+            reps = [blob[a:a + ln] for a, ln in
+                    zip(rep_s[lo:hi].tolist(), rep_len[lo:hi].tolist())]
+            out_rows.append(i)
+            out_texts.append(
+                splice(table.raw[i], list(zip(sl[lo:hi], rl[lo:hi], reps)))
+                .decode("utf-8")
+            )
+        return np.asarray(out_rows, np.int64), out_texts
+    if not out_rows:
+        return item_row, texts
+    return np.concatenate([np.asarray(out_rows, np.int64), item_row]), out_texts + texts
 
 
 def apply_renames(table: AnnTable, new_names: Sequence) -> list:
     """Rewrite object names; new_names[j] is None to keep. Returns per-row
-    text for CHANGED rows only (None = row untouched)."""
-    from ..runtime import splice_items_native
-
+    text for CHANGED rows only (None = row untouched). Thin adapter over the
+    vectorized apply_renames_at."""
+    objs = [j for j, nn in enumerate(new_names) if nn is not None]
+    labels = np.array([new_names[j] for j in objs], dtype=object)
+    rows_idx, texts = apply_renames_at(table, np.asarray(objs, np.int64), labels)
     out: list = [None] * table.n
-    base = table.obj_offsets
-    # obj_row is nondecreasing, so iterating changed j's in order yields
-    # row-grouped, position-sorted edit runs directly
-    item_row: list = []
-    edit_off = [0]
-    edit_s: list = []
-    edit_e: list = []
-    reps: list = []
-    rep_off = [0]
-    py_rows: dict = {}
-    rep_cache: dict = {}
-    prev = None
-    for j, nn in enumerate(new_names):
-        if nn is None:
-            continue
-        i = int(table.obj_row[j])
-        if table.row_needs_fallback(i):
-            py_rows.setdefault(i, []).append(j)
-            continue
-        rep = rep_cache.get(nn)
-        if rep is None:
-            rep = rep_cache[nn] = json.dumps(nn, ensure_ascii=False).encode("utf-8")
-        s, e, rep = _name_edit(table, j, rep)
-        if i != prev:
-            if prev is not None:
-                edit_off.append(len(edit_s))
-            item_row.append(i)
-            prev = i
-        edit_s.append(s)
-        edit_e.append(e)
-        reps.append(rep)
-        rep_off.append(rep_off[-1] + len(rep))
-    if prev is not None:
-        edit_off.append(len(edit_s))
-
-    texts = splice_items_native(
-        table.raw, np.asarray(item_row, np.int64), np.asarray(edit_off, np.int64),
-        np.asarray(edit_s, np.int64), np.asarray(edit_e, np.int64),
-        b"".join(reps), np.asarray(rep_off, np.int64),
-    ) if item_row else []
-    if texts is None:  # no native lib: per-row python splice
-        for k, i in enumerate(item_row):
-            lo, hi = edit_off[k], edit_off[k + 1]
-            out[i] = splice(
-                table.raw[i],
-                list(zip(edit_s[lo:hi], edit_e[lo:hi], reps[lo:hi])),
-            ).decode("utf-8")
-    else:
-        for k, i in enumerate(item_row):
-            out[i] = texts[k]
-    for i, objs in py_rows.items():
-        renames = {int(j - base[i]): new_names[j] for j in objs}
-        out[i] = _py_rename_cell(table.raw[i].decode("utf-8"), renames)
+    for i, t in zip(rows_idx.tolist(), texts):
+        out[i] = t
     return out
 
 
@@ -556,30 +586,9 @@ def extract_single_objects(table: AnnTable, objs, labels) -> list:
     i = rows[idx]
     sp = table.spans
     osp = table.objects_span
-    # unique label reps: named / insert / insert-into-empty-object variants
-    import pandas as pd  # hash-based factorize (np.unique would sort 2M strs)
-
-    codes, uniq = pd.factorize(labels[idx])
-    named_u = [json.dumps(str(l), ensure_ascii=False).encode("utf-8") for l in uniq]
-    pieces = (
-        [b"[", b"]"] + named_u
-        + [b'"name": ' + r + b", " for r in named_u]
-        + [b'"name": ' + r for r in named_u]
+    e2_s, e2_e, rep2_s, rep2_len, blob = _name_edit_arrays(
+        table, j, labels[idx], extra=[b"[", b"]"]
     )
-    plen = np.fromiter(map(len, pieces), np.int64, len(pieces))
-    poff = np.zeros(len(pieces) + 1, np.int64)
-    np.cumsum(plen, out=poff[1:])
-    blob = b"".join(pieces)
-    U = len(uniq)
-    ns = sp[j, 2].astype(np.int64)
-    has_name = ns >= 0
-    obj_empty = (table.flags[j] & F_OBJ_EMPTY) != 0
-    piece_idx = np.where(
-        has_name, 2 + codes,
-        np.where(obj_empty, 2 + 2 * U + codes, 2 + U + codes),
-    )
-    e2_s = np.where(has_name, ns, sp[j, 0].astype(np.int64) + 1)
-    e2_e = np.where(has_name, sp[j, 3].astype(np.int64), e2_s)
     k = len(idx)
     edit_s = np.empty((k, 3), np.int64)
     edit_e = np.empty((k, 3), np.int64)
@@ -591,11 +600,11 @@ def extract_single_objects(table: AnnTable, objs, labels) -> list:
     edit_e[:, 1] = e2_e
     edit_s[:, 2] = sp[j, 1]    # drop the other objects
     edit_e[:, 2] = osp[i, 1]
-    rep_s[:, 0] = 0
+    rep_s[:, 0] = 0   # "[" is extra piece 0
     rep_len[:, 0] = 1
-    rep_s[:, 1] = poff[piece_idx]
-    rep_len[:, 1] = plen[piece_idx]
-    rep_s[:, 2] = 1
+    rep_s[:, 1] = rep2_s
+    rep_len[:, 1] = rep2_len
+    rep_s[:, 2] = 1   # "]" is extra piece 1
     rep_len[:, 2] = 1
     texts = splice_items2_native(
         table.raw, i, np.arange(k + 1, dtype=np.int64) * 3,

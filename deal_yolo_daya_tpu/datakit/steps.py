@@ -414,13 +414,36 @@ def _group_join(keys_sorted: np.ndarray, values: np.ndarray, sep: str) -> list:
 
 
 def _token_frame(table: columnar.AnnTable) -> pd.DataFrame:
-    """Flat (obj, token) frame over all named objects of a table."""
+    """Flat (obj, token) frame over all named objects of a table.
+
+    Names repeat heavily, so each UNIQUE name tokenizes once (split + strip +
+    drop-empty, same semantics as the old per-cell ``str.split``/``strip``
+    chain) and the flat frame rebuilds with ragged numpy gathers — the
+    per-object regex split was ~4 s/column at 1M rows. ``tok`` stays object
+    dtype (Arrow string inference re-encodes the whole column)."""
     named = pd.Series(table.names, dtype=object)
-    # Python truthiness of the raw name gates tokenization ('' -> no tokens)
-    toks = named.str.split(SEP_PATTERN, regex=True).explode()
-    toks = toks.str.strip()
-    toks = toks[toks.notna() & (toks != "")]
-    return pd.DataFrame({"obj": toks.index.to_numpy(), "tok": toks.to_numpy()})
+    codes, uniq = pd.factorize(named)  # None names -> code -1 (no tokens)
+    flat_toks: list = []
+    u_off = np.zeros(len(uniq) + 1, np.int64)
+    for k, u in enumerate(uniq):
+        # truthiness gates tokenization ('' -> no tokens); non-str names
+        # yield none (the old .str accessor surfaced them as NaN)
+        if u and isinstance(u, str):
+            flat_toks.extend(
+                t for t in (s.strip() for s in re.split(SEP_PATTERN, u)) if t
+            )
+        u_off[k + 1] = len(flat_toks)
+    flat_u = np.asarray(flat_toks, dtype=object)
+    cnt_u = np.diff(u_off)
+    safe = np.clip(codes, 0, None)
+    counts = np.where(codes >= 0, cnt_u[safe], 0)
+    total = int(counts.sum())
+    obj_idx = np.repeat(np.arange(len(named), dtype=np.int64), counts)
+    excl = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=excl[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(excl, counts)
+    tok = flat_u[np.repeat(u_off[safe], counts) + within]
+    return pd.DataFrame({"obj": obj_idx, "tok": pd.Series(tok, dtype=object)})
 
 
 def replace_labels_by_mapping(
@@ -476,25 +499,34 @@ def replace_labels_by_mapping(
         if len(tf) == 0 and table.m == 0:
             continue
 
-        in_map = tf["tok"].isin(label_map.keys()).to_numpy() if len(tf) else np.zeros(0, bool)
         if len(tf):
-            unmatched = unmatched.add(
-                tf.loc[~in_map, "tok"].value_counts(), fill_value=0
+            # map each UNIQUE token once; broadcast by factorize codes
+            toks_np = tf["tok"].to_numpy()
+            t_codes, t_uniq = pd.factorize(toks_np)
+            in_map_u = np.fromiter(
+                (u in label_map for u in t_uniq), bool, len(t_uniq)
             )
-            mapped = tf["tok"].map(label_map).fillna(tf["tok"])
+            in_map = in_map_u[t_codes]
+            mapped_u = np.array(
+                [label_map.get(u, u) for u in t_uniq], dtype=object
+            )
+            if (~in_map_u).any():
+                um_counts = np.bincount(t_codes[~in_map], minlength=len(t_uniq))
+                um_sel = np.flatnonzero(um_counts)
+                unmatched = unmatched.add(
+                    pd.Series(um_counts[um_sel], index=t_uniq[um_sel]),
+                    fill_value=0,
+                )
+            obj_np = tf["obj"].to_numpy()
             # dedup + sort per object, comma-join (reference: utils.py:664-679)
-            uniq = (
-                pd.DataFrame({"obj": tf["obj"].to_numpy(), "tok": mapped.to_numpy()})
-                .drop_duplicates()
-                .sort_values(["obj", "tok"])
+            nn_objs, nn_joined = _group_concat(obj_np, mapped_u[t_codes], ",")
+            new_names = pd.Series(nn_joined, index=nn_objs, dtype=object)
+            replaced_per_obj = pd.Series(
+                np.bincount(obj_np[in_map], minlength=table.m)
             )
-            new_names = pd.Series(
-                _group_join(uniq["obj"].to_numpy(),
-                            uniq["tok"].to_numpy(dtype=object), ","),
-                index=np.unique(uniq["obj"].to_numpy()),
-            )
-            replaced_per_obj = pd.Series(in_map, index=tf["obj"].to_numpy()).groupby(level=0).sum()
+            replaced_per_obj = replaced_per_obj[replaced_per_obj > 0]
         else:
+            in_map = np.zeros(0, bool)
             new_names = pd.Series(dtype=object)
             replaced_per_obj = pd.Series(dtype="int64")
 
@@ -513,12 +545,10 @@ def replace_labels_by_mapping(
         totals["replaced_labels"] += int(n_replaced.sum())
         totals["replaced_objects"] += int(do_rename.sum())
 
-        rename_vec: list = [None] * table.m
         renamed_objs = named_objs[do_rename.to_numpy()]
-        for obj, val in zip(renamed_objs,
-                            full_new.loc[renamed_objs].to_numpy(dtype=object)):
-            rename_vec[obj] = val
-        rewritten = columnar.apply_renames(table, rename_vec)
+        rewritten_rows, rewritten_texts = columnar.apply_renames_at(
+            table, renamed_objs, full_new.loc[renamed_objs].to_numpy(dtype=object)
+        )
 
         rows_with_replacement[
             np.unique(table.obj_row[renamed_objs])
@@ -528,9 +558,7 @@ def replace_labels_by_mapping(
         # an Arrow-backed column copy the whole column each time (O(n^2) —
         # 19 s of 33 s at 20k rows, bench_datakit round 2)
         vals = cells.to_numpy(dtype=object, copy=True)
-        for i, text in enumerate(rewritten):
-            if text is not None:
-                vals[i] = text
+        vals[rewritten_rows] = np.asarray(rewritten_texts, dtype=object)
         # object Series: skip the Arrow-string re-encode of the whole column
         df[col] = pd.Series(vals, dtype=object, index=df.index)
 

@@ -99,21 +99,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.rewrite_ptlists_rows.restype = None
-        lib.splice_items.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            ctypes.c_char_p,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            ctypes.c_int,
-        ]
-        lib.splice_items.restype = None
         lib.splice_items2.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -261,54 +246,6 @@ def match_predictions_native(
         len(thr), out.reshape(-1),
     )
     return out.astype(bool)
-
-
-def splice_items_native(
-    encoded: Sequence,
-    item_row: np.ndarray,
-    edit_off: np.ndarray,
-    edit_s: np.ndarray,
-    edit_e: np.ndarray,
-    rep: bytes,
-    rep_off: np.ndarray,
-    n_threads: Optional[int] = None,
-) -> Optional[list]:
-    """Batch byte-splicer: item k = rows[item_row[k]] with edits
-    [edit_off[k], edit_off[k+1]) applied (sorted, non-overlapping). Returns
-    per-item UTF-8 text (None entries for null source rows), or None when
-    the native lib is unavailable."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    n_items = len(item_row)
-    if n_items == 0:
-        return []
-    n = len(encoded)
-    arr = (ctypes.c_char_p * max(n, 1))(*encoded)
-    item_row = np.ascontiguousarray(item_row, np.int64)
-    edit_off = np.ascontiguousarray(edit_off, np.int64)
-    edit_s = np.ascontiguousarray(edit_s, np.int64)
-    edit_e = np.ascontiguousarray(edit_e, np.int64)
-    rep_off = np.ascontiguousarray(rep_off, np.int64)
-    row_len = np.array([len(e) if e else 0 for e in encoded], np.int64)
-    rep_len = rep_off[edit_off[1:]] - rep_off[edit_off[:-1]]
-    cap = row_len[item_row] + rep_len + 8  # removals only shrink
-    cap_off = np.zeros(n_items + 1, np.int64)
-    np.cumsum(cap, out=cap_off[1:])
-    out = np.zeros(max(int(cap_off[-1]), 1), np.uint8)
-    out_len = np.full(n_items, -1, np.int64)
-    if n_threads is None:
-        n_threads = min(os.cpu_count() or 1, 16)
-    lib.splice_items(
-        arr, item_row, n_items, edit_off, edit_s, edit_e, rep, rep_off,
-        out, cap_off, out_len, n_threads,
-    )
-    mv = memoryview(out)
-    offs = cap_off.tolist()
-    return [
-        str(mv[offs[k]:offs[k] + ln], "utf-8") if ln >= 0 else None
-        for k, ln in enumerate(out_len.tolist())
-    ]
 
 
 def splice_items2_native(

@@ -1183,49 +1183,11 @@ extern "C" {
 
 // Generic byte-splice engine: item k copies rows[item_row[k]] applying its
 // (sorted, non-overlapping) edits [edit_off[k], edit_off[k+1]) — edit e
-// replaces source bytes [edit_s[e], edit_e[e]) with rep[rep_off[e]..
-// rep_off[e+1]). Output for item k lands at out + cap_off[k]; actual length
-// in out_len[k]. Serves the step-6 rename and step-7 single-object
-// extraction appliers (datakit/columnar.py).
-void splice_items(const char** rows, const int64_t* item_row, int64_t n_items,
-                  const int64_t* edit_off, const int64_t* edit_s,
-                  const int64_t* edit_e, const char* rep,
-                  const int64_t* rep_off, char* out, const int64_t* cap_off,
-                  int64_t* out_len, int n_threads) {
-  if (n_threads < 1) n_threads = 1;
-  auto work = [&](int64_t start, int64_t end) {
-    for (int64_t k = start; k < end; ++k) {
-      const char* raw = rows[item_row[k]];
-      if (raw == nullptr) { out_len[k] = -1; continue; }
-      int64_t raw_len = (int64_t)strlen(raw);
-      char* w = out + cap_off[k];
-      int64_t pos = 0;
-      for (int64_t e = edit_off[k]; e < edit_off[k + 1]; ++e) {
-        memcpy(w, raw + pos, edit_s[e] - pos); w += edit_s[e] - pos;
-        int64_t rl = rep_off[e + 1] - rep_off[e];
-        memcpy(w, rep + rep_off[e], rl); w += rl;
-        pos = edit_e[e];
-      }
-      memcpy(w, raw + pos, raw_len - pos); w += raw_len - pos;
-      out_len[k] = (w - out) - cap_off[k];
-    }
-  };
-  if (n_threads == 1 || n_items < 1024) { work(0, n_items); return; }
-  std::vector<std::thread> threads;
-  int64_t chunk = (n_items + n_threads - 1) / n_threads;
-  for (int t = 0; t < n_threads; ++t) {
-    int64_t s = t * chunk, e = std::min<int64_t>(s + chunk, n_items);
-    if (s >= e) break;
-    threads.emplace_back(work, s, e);
-  }
-  for (auto& th : threads) th.join();
-}
-
-// splice_items with EXPLICIT per-edit replacement spans (rep_s[e], rep_len[e]
-// into rep) instead of a contiguous rep blob. Repeated replacement texts
-// (e.g. step-7's per-label name reps over millions of exploded rows) are laid
-// out once and referenced by every edit, so the caller never materializes a
-// per-item blob.
+// replaces source bytes [edit_s[e], edit_e[e]) with the EXPLICIT span
+// rep[rep_s[e] .. rep_s[e]+rep_len[e]). Repeated replacement texts (e.g. the
+// per-label name reps over millions of exploded step-7 rows) lay out once in
+// rep and are referenced by every edit. Serves the step-6 rename and step-7
+// single-object extraction appliers (datakit/columnar.py).
 void splice_items2(const char** rows, const int64_t* item_row, int64_t n_items,
                    const int64_t* edit_off, const int64_t* edit_s,
                    const int64_t* edit_e, const char* rep,
