@@ -273,9 +273,29 @@ def _py_scan(rows: Sequence) -> AnnTable:
     )
 
 
-def build_table(rows: Sequence) -> AnnTable:
-    """Scan a column of annotation-JSON strings into an AnnTable."""
-    native = scan_annotations_native(rows)
+def encode_cells(cells) -> list:
+    """Per-cell utf-8 bytes (None for non-string cells). A pandas string
+    column encodes in one Arrow pass (cast to large_binary is a metadata-only
+    view of the utf-8 buffer) instead of a per-cell str->bytes round trip."""
+    try:
+        import pandas as pd
+
+        if isinstance(cells, pd.Series):
+            import pyarrow as pa
+
+            arr = pa.array(cells, from_pandas=True)
+            if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                return arr.cast(pa.large_binary()).to_pylist()
+            cells = cells.tolist()
+    except Exception:
+        cells = list(cells)
+    return [r.encode("utf-8") if isinstance(r, str) else None for r in cells]
+
+
+def build_table(rows) -> AnnTable:
+    """Scan a column of annotation-JSON strings (list or pandas Series) into
+    an AnnTable."""
+    native = scan_annotations_native(encode_cells(rows), pre_encoded=True)
     if native is None:
         return _py_scan(rows)
     encoded, row_i32, row_wh, obj_offsets, obj_i32, obj_box, name_pos, arena = native

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..utils import xlsx
+from ..utils.csvio import write_csv
 from ..utils.naming import safe_filename
 from . import boxes as boxops
 from . import columnar
@@ -57,7 +58,7 @@ def _save_csv(df: pd.DataFrame, path, encoding: str = "utf-8-sig") -> None:
         parent = Path(path).parent
         if str(parent):
             parent.mkdir(parents=True, exist_ok=True)
-        df.to_csv(path, index=False, encoding=encoding)
+        write_csv(df, path, encoding=encoding)
     except Exception as e:
         raise Exception(f"保存结果失败：{str(e)}") from e
 
@@ -271,7 +272,7 @@ def process_csv_replace_ptlist(
         return None
 
     keep = df[LABEL_JSON_COL].notna()
-    table = columnar.build_table(df[LABEL_JSON_COL].tolist())
+    table = columnar.build_table(df[LABEL_JSON_COL])
     rewritten = columnar.rewrite_ptlists(table)
 
     kept_idx = np.flatnonzero(keep.to_numpy())
@@ -291,12 +292,12 @@ def process_csv_replace_ptlist(
     out["height"] = _wh_column(table.wh[kept_idx, 1])
 
     Path(output_csv_path).parent.mkdir(parents=True, exist_ok=True)
-    out.to_csv(output_csv_path, index=False, encoding="utf-8-sig")
+    write_csv(out, output_csv_path)
 
     excluded_df = df[~keep]
     if excluded_output_file is not None:
         Path(excluded_output_file).parent.mkdir(parents=True, exist_ok=True)
-        excluded_df.to_csv(excluded_output_file, index=False, encoding="utf-8-sig")
+        write_csv(excluded_df, excluded_output_file)
 
     return {
         "filtered_rows": len(kept_idx),
@@ -334,7 +335,8 @@ def filter_by_box_count_and_iou(
         print(f"错误：缺少必要列 {NEW_LABEL_JSON_COL}")
         return
 
-    rows = df[NEW_LABEL_JSON_COL].tolist()
+    cells = df[NEW_LABEL_JSON_COL]
+    rows = None  # materialized lazily for the fallback/saturated paths
     # Cap the packed width: one outlier row with hundreds of boxes would
     # inflate the (rows, M, M) IoU tensors quadratically. Saturated rows
     # (count == cap, i.e. possibly truncated) are re-checked exactly via the
@@ -344,13 +346,17 @@ def filter_by_box_count_and_iou(
     try:
         from ..runtime import scan_boxes_native
 
-        native = scan_boxes_native(rows, two_point_only=True, max_boxes=M_CAP)
+        native = scan_boxes_native(
+            columnar.encode_cells(cells), two_point_only=True,
+            max_boxes=M_CAP, pre_encoded=True,
+        )
     except Exception:
         native = None
     if native is not None:
         packed, mask, counts, _ = native
         saturated = np.flatnonzero(counts >= M_CAP)
     else:
+        rows = cells.tolist()
         box_lists = [extract_two_point_boxes(v) for v in rows]
         saturated = np.flatnonzero(np.asarray([len(b) for b in box_lists]) > M_CAP)
         box_lists = [b[:M_CAP] for b in box_lists]
@@ -358,10 +364,12 @@ def filter_by_box_count_and_iou(
     # trim to the table's ACTUAL max box count: the (rows, M, M) IoU work
     # scales with M^2, and typical annotation data has 1-8 boxes — padding
     # every row to the 64-wide cap cost 50-250x (bench_datakit round 2)
-    m_used = int(mask.sum(axis=1).max()) if len(rows) else 0
+    m_used = int(mask.sum(axis=1).max()) if len(cells) else 0
     m_used = max(m_used, 1)
     packed, mask = packed[:, :m_used], mask[:, :m_used]
     hits = boxops.high_iou_hits(packed, mask, min_boxes=min_boxes, iou_threshold=iou_threshold)
+    if len(saturated) and rows is None:
+        rows = cells.tolist()
     for i in saturated:
         full = extract_two_point_boxes(rows[int(i)])
         b, m = boxops.pack_boxes([full])
@@ -372,8 +380,8 @@ def filter_by_box_count_and_iou(
     Path(high_iou_csv).parent.mkdir(parents=True, exist_ok=True)
     Path(other_csv).parent.mkdir(parents=True, exist_ok=True)
 
-    df[hits].to_csv(high_iou_csv, index=False, encoding="utf-8-sig")
-    df[~hits].to_csv(other_csv, index=False, encoding="utf-8-sig")
+    write_csv(df[hits], high_iou_csv)
+    write_csv(df[~hits], other_csv)
 
 
 # ---------------------------------------------------------------------------
@@ -483,7 +491,7 @@ def replace_labels_by_mapping(
 
     for col_order, col in enumerate(present_cols):
         cells = df[col]
-        table = columnar.build_table(cells.tolist())
+        table = columnar.build_table(cells)
 
         non_empty = cells.notna().to_numpy() & (cells.astype(str) != "").to_numpy()
         totals["invalid_json_rows"] += int(
@@ -565,10 +573,11 @@ def replace_labels_by_mapping(
         # diff rows: any object whose display name changed (even reorder-only)
         diff_mask = (raw_names.to_numpy() != full_new.to_numpy())
         if diff_mask.any():
+            _ob = lambda a: pd.Series(a, dtype=object)  # skip Arrow re-encode
             dd = pd.DataFrame({
                 "obj": named_objs[diff_mask],
-                "before": raw_names.to_numpy()[diff_mask],
-                "after": full_new.to_numpy()[diff_mask],
+                "before": _ob(raw_names.to_numpy()[diff_mask]),
+                "after": _ob(full_new.to_numpy()[diff_mask]),
             })
             rows_of = table.obj_row[dd["obj"].to_numpy()]
             order = np.argsort(rows_of, kind="stable")
@@ -596,7 +605,7 @@ def replace_labels_by_mapping(
 
     output_csv_path = Path(output_csv_path)
     output_csv_path.parent.mkdir(parents=True, exist_ok=True)
-    df.to_csv(output_csv_path, index=False, encoding="utf-8-sig")
+    write_csv(df, output_csv_path)
 
     diff_path = None
     if diff_excel_path:
@@ -764,7 +773,7 @@ def split_dataset_by_rules(
         fill = chosen.isna() & usable
         chosen[fill] = vals[fill]
 
-    table = columnar.build_table(chosen.tolist())
+    table = columnar.build_table(chosen)
     n_objs_per_row = np.diff(table.obj_offsets)
 
     # --- row-level error classification --------------------------------------

@@ -94,7 +94,7 @@ def _plan_sheet(df_split, source_col, label_col, json_cols, width_col,
             take = ~claimed & usable
             cells[take] = vals[take]
             claimed |= usable | vals.isna().to_numpy()
-    table = columnar.build_table(cells.tolist())
+    table = columnar.build_table(cells)
 
     names = np.asarray(table.names, dtype=object)
     label_per_obj = labels.to_numpy(dtype=object)[table.obj_row] if table.m else names

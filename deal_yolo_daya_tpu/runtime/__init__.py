@@ -136,6 +136,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
         ]
         lib.sheet_xml.restype = None
+        lib.csv_write.argtypes = [
+            ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            _pp, _pp, _pp, _pp, _pp,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.csv_write.restype = None
         lib.buf_free.argtypes = [ctypes.c_void_p]
         lib.buf_free.restype = None
         _LIB = lib
@@ -147,6 +155,7 @@ def scan_boxes_native(
     two_point_only: bool,
     max_boxes: int = 64,
     n_threads: Optional[int] = None,
+    pre_encoded: bool = False,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     """Extract (boxes (N,M,4) f32, mask (N,M) bool, counts (N,), wh (N,2))
     from a column of annotation JSON strings. None if native lib unavailable.
@@ -158,9 +167,12 @@ def scan_boxes_native(
     if lib is None:
         return None
     n = len(rows)
-    encoded = [
-        (r.encode("utf-8") if isinstance(r, str) else None) for r in rows
-    ]
+    if pre_encoded:
+        encoded = rows if isinstance(rows, list) else list(rows)
+    else:
+        encoded = [
+            (r.encode("utf-8") if isinstance(r, str) else None) for r in rows
+        ]
     arr = (ctypes.c_char_p * n)(*encoded)
     out_boxes = np.zeros((n, max_boxes, 4), np.float32)
     out_mask = np.zeros((n, max_boxes), np.uint8)
@@ -299,29 +311,15 @@ def splice_items2_native(
     ]
 
 
-# column kinds for sheet_xml_native (must match labelscan.cpp::sheet_xml)
-XLSX_STR, XLSX_F64, XLSX_I64, XLSX_BOOL, XLSX_RAW = 0, 1, 2, 3, 4
+# column kinds for sheet_xml_native (must match labelscan.cpp::sheet_xml);
+# NUMOBJ (mixed int/float object column) is csv_write-only
+XLSX_STR, XLSX_F64, XLSX_I64, XLSX_BOOL, XLSX_RAW, CSV_NUMOBJ = 0, 1, 2, 3, 4, 5
 
 
-def sheet_xml_native(
-    nrows: int,
-    col_specs: Sequence[dict],
-    header: bytes,
-    first_row: int,
-) -> Optional[bytes]:
-    """Emit a whole worksheet XML part natively (labelscan.cpp::sheet_xml).
-
-    Each col spec is a dict with ``kind`` (XLSX_*) plus, by kind:
-    - str/raw: ``blob`` (int address of utf-8 bytes), ``off`` (int address of
-      int64 offsets[nrows+1]); the caller keeps the owning buffers alive.
-    - f64: ``f64`` float64 ndarray (NaN = empty cell).
-    - i64/bool: ``i64`` int64 ndarray.
-    Any kind may carry ``valid`` (uint8 ndarray; 0 = empty cell).
-    Returns the XML bytes, or None when the native lib is unavailable.
+def _marshal_col_specs(col_specs: Sequence[dict]):
+    """Pack column specs (see sheet_xml_native) into the 5 parallel pointer
+    arrays the native writers take. Returns (kinds, ptr arrays..., keepalive).
     """
-    lib = get_lib()
-    if lib is None:
-        return None
     ncols = len(col_specs)
     kinds = np.zeros(max(ncols, 1), np.uint8)
     blob_p = (ctypes.c_void_p * max(ncols, 1))()
@@ -350,10 +348,33 @@ def sheet_xml_native(
             ia = np.ascontiguousarray(ia, np.int64)
             keep.append(ia)
             i64_p[c] = ia.ctypes.data
+    return kinds, blob_p, off_p, valid_p, f64_p, i64_p, keep
+
+
+def sheet_xml_native(
+    nrows: int,
+    col_specs: Sequence[dict],
+    header: bytes,
+    first_row: int,
+) -> Optional[bytes]:
+    """Emit a whole worksheet XML part natively (labelscan.cpp::sheet_xml).
+
+    Each col spec is a dict with ``kind`` (XLSX_*) plus, by kind:
+    - str/raw: ``blob`` (int address of utf-8 bytes), ``off`` (int address of
+      int64 offsets[nrows+1]); the caller keeps the owning buffers alive.
+    - f64: ``f64`` float64 ndarray (NaN = empty cell).
+    - i64/bool: ``i64`` int64 ndarray.
+    Any kind may carry ``valid`` (uint8 ndarray; 0 = empty cell).
+    Returns the XML bytes, or None when the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    kinds, blob_p, off_p, valid_p, f64_p, i64_p, keep = _marshal_col_specs(col_specs)
     out_ptr = ctypes.c_void_p()
     out_len = ctypes.c_int64()
     lib.sheet_xml(
-        nrows, ncols, kinds, blob_p, off_p, valid_p, f64_p, i64_p,
+        nrows, len(col_specs), kinds, blob_p, off_p, valid_p, f64_p, i64_p,
         header, len(header), first_row,
         ctypes.byref(out_ptr), ctypes.byref(out_len),
     )
@@ -364,7 +385,39 @@ def sheet_xml_native(
         del keep
 
 
-def scan_annotations_native(rows: Sequence, n_threads: Optional[int] = None):
+def csv_write_native(
+    nrows: int,
+    col_specs: Sequence[dict],
+    header: bytes,
+    sink,
+) -> bool:
+    """Write the CSV body (labelscan.cpp::csv_write — pandas to_csv parity on
+    str/f64/i64/bool columns) into the binary file object ``sink`` without an
+    intermediate Python bytes copy. False when the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return False
+    kinds, blob_p, off_p, valid_p, f64_p, i64_p, keep = _marshal_col_specs(col_specs)
+    out_ptr = ctypes.c_void_p()
+    out_len = ctypes.c_int64()
+    lib.csv_write(
+        nrows, len(col_specs), kinds, blob_p, off_p, valid_p, f64_p, i64_p,
+        header, len(header), ctypes.byref(out_ptr), ctypes.byref(out_len),
+    )
+    try:
+        if out_len.value:
+            buf = (ctypes.c_char * out_len.value).from_address(out_ptr.value)
+            sink.write(memoryview(buf))
+        return True
+    finally:
+        lib.buf_free(out_ptr)
+        del keep
+
+
+def scan_annotations_native(
+    rows: Sequence, n_threads: Optional[int] = None, pre_encoded: bool = False
+):
     """Structural scan of an annotation-JSON string column.
 
     Returns the raw columnar parse (see datakit.columnar.AnnTable for the
@@ -387,9 +440,12 @@ def scan_annotations_native(rows: Sequence, n_threads: Optional[int] = None):
     if lib is None:
         return None
     n = len(rows)
-    encoded = [
-        (r.encode("utf-8") if isinstance(r, str) else None) for r in rows
-    ]
+    if pre_encoded:
+        encoded = rows if isinstance(rows, list) else list(rows)
+    else:
+        encoded = [
+            (r.encode("utf-8") if isinstance(r, str) else None) for r in rows
+        ]
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
     arr = (ctypes.c_char_p * max(n, 1))(*encoded)

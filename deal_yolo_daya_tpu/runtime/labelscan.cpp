@@ -1308,27 +1308,31 @@ inline bool is_ws(char ch) {
   return ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r';
 }
 
-// append text with XML escaping (&, <, >, ") — same set the Python writer
-// escapes (_xml_escape in utils/xlsx.py)
-inline void append_escaped(std::string& s, const char* p, int64_t len) {
+// write text with XML escaping (&, <, >, ") — same set the Python writer
+// escapes (_xml_escape in utils/xlsx.py). Raw-cursor byte loop: JSON-heavy
+// cells escape every ~20 bytes, where segmented std::string appends cost
+// more than the copy itself.
+inline char* write_escaped(char* w, const char* p, int64_t len) {
   const char* end = p + len;
-  const char* run = p;
   for (; p < end; ++p) {
-    const char* rep = nullptr;
-    int rl = 0;
-    switch (*p) {
-      case '&': rep = "&amp;"; rl = 5; break;
-      case '<': rep = "&lt;"; rl = 4; break;
-      case '>': rep = "&gt;"; rl = 4; break;
-      case '"': rep = "&quot;"; rl = 6; break;
-      default: continue;
+    char ch = *p;
+    switch (ch) {
+      case '&': memcpy(w, "&amp;", 5); w += 5; break;
+      case '<': memcpy(w, "&lt;", 4); w += 4; break;
+      case '>': memcpy(w, "&gt;", 4); w += 4; break;
+      case '"': memcpy(w, "&quot;", 6); w += 6; break;
+      default: *w++ = ch;
     }
-    s.append(run, p - run);
-    s.append(rep, rl);
-    run = p + 1;
   }
-  s.append(run, end - run);
+  return w;
 }
+
+// Upper-bound allocator for the writers: virtual over-reservation is fine
+// on Linux (untouched pages cost nothing); nullptr -> caller falls back.
+inline char* xw_alloc(size_t bound) { return (char*)malloc(bound); }
+
+#define XW_LIT(w, lit) \
+  (memcpy((w), lit, sizeof(lit) - 1), (w) + sizeof(lit) - 1)
 
 }  // namespace xlsxw
 
@@ -1371,25 +1375,28 @@ void sheet_xml(int64_t nrows, int32_t ncols, const uint8_t* col_kind,
     letters[c] = L;
   }
 
-  std::string s;
-  // capacity guess: fixed head/tail + header + ~48 B/cell + string payloads
-  size_t guess = sizeof(kHead) + sizeof(kTail) + (size_t)header_len +
-                 (size_t)nrows * ((size_t)ncols * 48 + 24);
+  // Upper bound: worst-case XML escaping is 6x the string payload; per-cell
+  // scaffolding <= 100 B (refs, tags, numbers). Virtual over-reservation —
+  // untouched pages are free on Linux.
+  size_t bound = sizeof(kHead) + sizeof(kTail) + (size_t)header_len +
+                 (size_t)nrows * ((size_t)ncols * 100 + 40) + 64;
   for (int32_t c = 0; c < ncols; ++c)
-    if (col_off && col_off[c]) guess += (size_t)col_off[c][nrows];
-  s.reserve(guess);
+    if (col_off && col_off[c])
+      bound += (size_t)col_off[c][nrows] * (col_kind[c] == 0 ? 6 : 1);
+  char* buf = xlsxw::xw_alloc(bound);
+  if (!buf) { *out = nullptr; *out_len = -1; return; }
+  char* w = buf;
 
-  s.append(kHead, sizeof(kHead) - 1);
-  if (header_len > 0) s.append(header_xml, (size_t)header_len);
+  w = XW_LIT(w, kHead);
+  memcpy(w, header_xml, (size_t)header_len); w += header_len;
 
-  char num[40];
   char rownum[24];
   for (int64_t r = 0; r < nrows; ++r) {
     int rn_len = snprintf(rownum, sizeof(rownum), "%lld",
                           (long long)(first_row + r));
-    s.append("<row r=\"", 8);
-    s.append(rownum, rn_len);
-    s.append("\">", 2);
+    w = XW_LIT(w, "<row r=\"");
+    memcpy(w, rownum, rn_len); w += rn_len;
+    w = XW_LIT(w, "\">");
     for (int32_t c = 0; c < ncols; ++c) {
       const uint8_t* valid = col_valid ? col_valid[c] : nullptr;
       if (valid && !valid[r]) continue;
@@ -1400,75 +1407,184 @@ void sheet_xml(int64_t nrows, int32_t ncols, const uint8_t* col_kind,
           int64_t a = col_off[c][r], b = col_off[c][r + 1];
           bool edge_ws =
               (b > a) && (xlsxw::is_ws(blob[a]) || xlsxw::is_ws(blob[b - 1]));
-          s.append("<c r=\"", 6);
-          s.append(L);
-          s.append(rownum, rn_len);
+          w = XW_LIT(w, "<c r=\"");
+          memcpy(w, L.data(), L.size()); w += L.size();
+          memcpy(w, rownum, rn_len); w += rn_len;
           if (edge_ws)
-            s.append("\" t=\"inlineStr\"><is><t xml:space=\"preserve\">", 44);
+            w = XW_LIT(w, "\" t=\"inlineStr\"><is><t xml:space=\"preserve\">");
           else
-            s.append("\" t=\"inlineStr\"><is><t>", 23);
-          xlsxw::append_escaped(s, blob + a, b - a);
-          s.append("</t></is></c>", 13);
+            w = XW_LIT(w, "\" t=\"inlineStr\"><is><t>");
+          w = xlsxw::write_escaped(w, blob + a, b - a);
+          w = XW_LIT(w, "</t></is></c>");
           break;
         }
         case 1: {  // float64
           double v = col_f64[c][r];
           if (std::isnan(v)) break;  // empty cell
-          if (std::isinf(v)) {       // str(float('inf')) text cell
-            s.append("<c r=\"", 6);
-            s.append(L);
-            s.append(rownum, rn_len);
-            s.append("\" t=\"inlineStr\"><is><t>", 23);
-            s.append(v > 0 ? "inf" : "-inf");
-            s.append("</t></is></c>", 13);
+          w = XW_LIT(w, "<c r=\"");
+          memcpy(w, L.data(), L.size()); w += L.size();
+          memcpy(w, rownum, rn_len); w += rn_len;
+          if (std::isinf(v)) {  // str(float('inf')) text cell
+            w = XW_LIT(w, "\" t=\"inlineStr\"><is><t>");
+            if (v > 0) w = XW_LIT(w, "inf"); else w = XW_LIT(w, "-inf");
+            w = XW_LIT(w, "</t></is></c>");
             break;
           }
-          int nl = xlsxw::fmt_repr(v, num);
-          s.append("<c r=\"", 6);
-          s.append(L);
-          s.append(rownum, rn_len);
-          s.append("\"><v>", 5);
-          s.append(num, nl);
-          s.append("</v></c>", 8);
+          w = XW_LIT(w, "\"><v>");
+          w += xlsxw::fmt_repr(v, w);
+          w = XW_LIT(w, "</v></c>");
           break;
         }
         case 2: {  // int64
-          int nl = snprintf(num, sizeof(num), "%lld",
-                            (long long)col_i64[c][r]);
-          s.append("<c r=\"", 6);
-          s.append(L);
-          s.append(rownum, rn_len);
-          s.append("\"><v>", 5);
-          s.append(num, nl);
-          s.append("</v></c>", 8);
+          w = XW_LIT(w, "<c r=\"");
+          memcpy(w, L.data(), L.size()); w += L.size();
+          memcpy(w, rownum, rn_len); w += rn_len;
+          w = XW_LIT(w, "\"><v>");
+          w += snprintf(w, 24, "%lld", (long long)col_i64[c][r]);
+          w = XW_LIT(w, "</v></c>");
           break;
         }
         case 3: {  // bool
-          s.append("<c r=\"", 6);
-          s.append(L);
-          s.append(rownum, rn_len);
-          s.append("\" t=\"b\"><v>", 11);
-          s.push_back(col_i64[c][r] ? '1' : '0');
-          s.append("</v></c>", 8);
+          w = XW_LIT(w, "<c r=\"");
+          memcpy(w, L.data(), L.size()); w += L.size();
+          memcpy(w, rownum, rn_len); w += rn_len;
+          w = XW_LIT(w, "\" t=\"b\"><v>");
+          *w++ = col_i64[c][r] ? '1' : '0';
+          w = XW_LIT(w, "</v></c>");
           break;
         }
         case 4: {  // raw pre-rendered cell XML
           int64_t a = col_off[c][r], b = col_off[c][r + 1];
-          s.append(col_blob[c] + a, (size_t)(b - a));
+          memcpy(w, col_blob[c] + a, (size_t)(b - a)); w += b - a;
           break;
         }
       }
     }
-    s.append("</row>", 6);
+    w = XW_LIT(w, "</row>");
   }
-  s.append(kTail, sizeof(kTail) - 1);
+  w = XW_LIT(w, kTail);
 
-  char* buf = (char*)malloc(s.size());
-  memcpy(buf, s.data(), s.size());
   *out = buf;
-  *out_len = (int64_t)s.size();
+  *out_len = (int64_t)(w - buf);
 }
 
 void buf_free(char* p) { free(p); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native CSV writer: byte-identical to pandas ``df.to_csv(path, index=False)``
+// on the dtypes the datakit moves (str / float64 / int64 / bool). QUOTE_
+// MINIMAL semantics: a field quotes iff it contains ',', '"', '\n' or '\r'
+// (quotechar doubles inside); NaN/null -> empty; floats print as repr();
+// a single-column table writes an empty field as "" (csv-module blank-line
+// disambiguation). Column typing mirrors sheet_xml's kinds 0-3.
+// ---------------------------------------------------------------------------
+
+namespace csvw {
+
+inline bool needs_quote(const char* p, int64_t len) {
+  for (int64_t i = 0; i < len; ++i) {
+    char ch = p[i];
+    if (ch == ',' || ch == '"' || ch == '\n' || ch == '\r') return true;
+  }
+  return false;
+}
+
+// raw-cursor field writer: unquoted fields memcpy straight through; quoted
+// fields copy byte-wise doubling '"' (JSON cells quote every ~20 bytes —
+// segmented appends cost more than the copy)
+inline char* write_field(char* w, const char* p, int64_t len) {
+  if (!needs_quote(p, len)) {
+    memcpy(w, p, (size_t)len);
+    return w + len;
+  }
+  *w++ = '"';
+  const char* end = p + len;
+  for (; p < end; ++p) {
+    char ch = *p;
+    *w++ = ch;
+    if (ch == '"') *w++ = '"';
+  }
+  *w++ = '"';
+  return w;
+}
+
+}  // namespace csvw
+
+extern "C" {
+
+// Emit the CSV body (no BOM; header_bytes prepends verbatim). Columns are
+// typed as in sheet_xml: 0 str (blob+offsets+valid), 1 float64, 2 int64,
+// 3 bool (int64 0/1 + valid), 5 mixed int/float object column (valid acts
+// as a 3-state tag: 0 empty, 1 int from col_i64, 2 float from col_f64 —
+// the datakit's width/height columns keep per-cell int-ness). Result
+// buffer: free with buf_free.
+void csv_write(int64_t nrows, int32_t ncols, const uint8_t* col_kind,
+               const char* const* col_blob, const int64_t* const* col_off,
+               const uint8_t* const* col_valid, const double* const* col_f64,
+               const int64_t* const* col_i64, const char* header_bytes,
+               int64_t header_len, char** out, int64_t* out_len) {
+  // Upper bound: worst-case quoting doubles the payload (+2 quotes); numbers
+  // <= 34 B/cell. Virtual over-reservation; nullptr -> Python falls back.
+  size_t bound = (size_t)header_len +
+                 (size_t)nrows * ((size_t)ncols * 40 + 4) + 64;
+  for (int32_t c = 0; c < ncols; ++c)
+    if (col_off && col_off[c]) bound += (size_t)col_off[c][nrows] * 2;
+  char* buf = xlsxw::xw_alloc(bound);
+  if (!buf) { *out = nullptr; *out_len = -1; return; }
+  char* w = buf;
+  memcpy(w, header_bytes, (size_t)header_len); w += header_len;
+
+  for (int64_t r = 0; r < nrows; ++r) {
+    for (int32_t c = 0; c < ncols; ++c) {
+      if (c) *w++ = ',';
+      const uint8_t* valid = col_valid ? col_valid[c] : nullptr;
+      bool empty = false;
+      if (col_kind[c] == 5) {  // mixed numeric: valid is the 3-state tag
+        uint8_t tag = valid[r];
+        if (tag == 0) {
+          empty = true;
+        } else if (tag == 1) {
+          w += snprintf(w, 24, "%lld", (long long)col_i64[c][r]);
+        } else {
+          double v = col_f64[c][r];
+          if (std::isnan(v)) empty = true;
+          else if (std::isinf(v)) { if (v < 0) *w++ = '-'; w = XW_LIT(w, "inf"); }
+          else w += xlsxw::fmt_repr(v, w);
+        }
+      } else if (valid && !valid[r]) {
+        empty = true;
+      } else {
+        switch (col_kind[c]) {
+          case 0: {  // str
+            int64_t a = col_off[c][r], b = col_off[c][r + 1];
+            if (b == a) { empty = true; break; }
+            w = csvw::write_field(w, col_blob[c] + a, b - a);
+            break;
+          }
+          case 1: {  // float64: repr(); NaN -> empty; inf -> str(inf)
+            double v = col_f64[c][r];
+            if (std::isnan(v)) { empty = true; break; }
+            if (std::isinf(v)) { if (v < 0) *w++ = '-'; w = XW_LIT(w, "inf"); break; }
+            w += xlsxw::fmt_repr(v, w);
+            break;
+          }
+          case 2:  // int64
+            w += snprintf(w, 24, "%lld", (long long)col_i64[c][r]);
+            break;
+          case 3:  // bool
+            if (col_i64[c][r]) w = XW_LIT(w, "True"); else w = XW_LIT(w, "False");
+            break;
+        }
+      }
+      if (empty && ncols == 1) w = XW_LIT(w, "\"\"");
+    }
+    *w++ = '\n';
+  }
+
+  *out = buf;
+  *out_len = (int64_t)(w - buf);
+}
 
 }  // extern "C"

@@ -1,0 +1,93 @@
+"""Native CSV writer parity vs pandas to_csv (utils/csvio.py)."""
+
+import random
+import string
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deal_yolo_daya_tpu.utils.csvio import write_csv
+
+
+def _assert_parity(df, tmp_path, encoding="utf-8-sig"):
+    p_nat, p_pd = tmp_path / "nat.csv", tmp_path / "pd.csv"
+    write_csv(df, p_nat, encoding=encoding)
+    df.to_csv(p_pd, index=False, encoding=encoding)
+    assert p_nat.read_bytes() == p_pd.read_bytes()
+
+
+EDGE_FRAMES = [
+    pd.DataFrame({
+        "a": ["plain", "with,comma", 'with"quote', "with\nnl", "with\rcr",
+              "", None, " lead", "tab\t", "uni猫，分"],
+        "b": [1.5, 5.0, float("nan"), float("inf"), -float("inf"), 1e16,
+              1.23e-7, -0.0, 123456789.123456789, 2 ** 53 + 1.0],
+        "c": np.arange(10, dtype=np.int64) * -987654321,
+        "d": [True, False] * 5,
+    }),
+    pd.DataFrame({"single": ["", None, "x", "a,b"]}),  # "" quoting rule
+    pd.DataFrame({"n": [None, None]}),
+    pd.DataFrame(),
+    pd.DataFrame({"a": [], "b": []}),
+    pd.DataFrame({"s": pd.array(["a", None, "b"], dtype="str"),
+                  "i": pd.array([1, None, 3], dtype="Int64"),
+                  "f": pd.array([1.5, None, 2.0], dtype="Float64"),
+                  "bo": pd.array([True, None, False], dtype="boolean")}),
+    pd.DataFrame({'w,eird"name\n': [1, 2]}),
+    # pandas-fallback columns must still match (they ARE pandas)
+    pd.DataFrame({"t": pd.to_datetime(["2024-01-01", "2025-06-15"]),
+                  "f32": np.array([0.1, 0.2], np.float32)}),
+    pd.DataFrame({"m": [1, 2.5, "x,y", None, True]}),
+    # mixed int/float object column (step-4 width/height shape): int-ness
+    # must survive per cell (640 stays 640, 2.0 stays 2.0)
+    pd.DataFrame({"w": pd.Series([640, 1.5, None, float("nan"), 0, -7, 2.0,
+                                  2 ** 62], dtype=object),
+                  "s": ["a", "b", None, "d", "e", "f,g", "h", "i"]}),
+]
+
+
+@pytest.mark.parametrize("idx", range(len(EDGE_FRAMES)))
+def test_csv_parity_edges(idx, tmp_path):
+    _assert_parity(EDGE_FRAMES[idx], tmp_path)
+
+
+def test_csv_parity_plain_utf8(tmp_path):
+    _assert_parity(pd.DataFrame({"a": ["猫", "x,y"]}), tmp_path, encoding="utf-8")
+
+
+def test_csv_parity_fuzz(tmp_path):
+    rng = random.Random(7)
+    chars = string.ascii_letters + ',"\n\r\t 猫，；'
+
+    def rand_str():
+        return "".join(rng.choice(chars) for _ in range(rng.randint(0, 12)))
+
+    for _ in range(12):
+        n = rng.randint(0, 40)
+        cols = {}
+        for ci in range(rng.randint(1, 5)):
+            kind = rng.choice(["str", "f64", "i64", "bool", "obj_str"])
+            if kind == "str":
+                cols[f"c{ci}"] = pd.Series(
+                    [rand_str() if rng.random() > .15 else None for _ in range(n)],
+                    dtype="str" if n else object)
+            elif kind == "obj_str":
+                cols[f"c{ci}"] = pd.Series(
+                    [rand_str() if rng.random() > .15 else
+                     (None if rng.random() > .5 else float("nan"))
+                     for _ in range(n)], dtype=object)
+            elif kind == "f64":
+                cols[f"c{ci}"] = pd.Series(
+                    [rng.choice([rng.uniform(-1e20, 1e20), float("nan"),
+                                 float("inf"), 5.0, -0.0,
+                                 rng.random() * 10 ** rng.randint(-20, 20)])
+                     for _ in range(n)], dtype=np.float64)
+            elif kind == "i64":
+                cols[f"c{ci}"] = pd.Series(
+                    [rng.randint(-2 ** 62, 2 ** 62) for _ in range(n)],
+                    dtype=np.int64)
+            else:
+                cols[f"c{ci}"] = pd.Series(
+                    [rng.random() > .5 for _ in range(n)], dtype=bool)
+        _assert_parity(pd.DataFrame(cols), tmp_path)

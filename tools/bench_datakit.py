@@ -124,25 +124,29 @@ def rowloop_step5(in_csv, hi_csv, other_csv, min_boxes=2, thr=0.98):
 
 def rowloop_step6(in_csv, label_map, out_csv):
     df = pd.read_csv(in_csv, encoding="utf-8-sig")
-    vals = df[NEW_LABEL_JSON_COL].tolist()
-    for i, cell in enumerate(vals):
-        if not isinstance(cell, str) or not cell:
+    # the reference maps BOTH label columns (processor.py:547-567)
+    for col in (NEW_LABEL_JSON_COL, LABEL_JSON_COL):
+        if col not in df.columns:
             continue
-        try:
-            data = json.loads(cell)
-        except Exception:
-            continue
-        objects = data.get("objects")
-        if not isinstance(objects, list):
-            continue
-        for obj in objects:
-            if not isinstance(obj, dict) or obj.get("name") is None:
+        vals = df[col].tolist()
+        for i, cell in enumerate(vals):
+            if not isinstance(cell, str) or not cell:
                 continue
-            new_name, replaced, _ = replace_label_tokens(obj["name"], label_map)
-            if replaced:
-                obj["name"] = new_name
-        vals[i] = json.dumps(data, ensure_ascii=False)
-    df[NEW_LABEL_JSON_COL] = vals
+            try:
+                data = json.loads(cell)
+            except Exception:
+                continue
+            objects = data.get("objects")
+            if not isinstance(objects, list):
+                continue
+            for obj in objects:
+                if not isinstance(obj, dict) or obj.get("name") is None:
+                    continue
+                new_name, replaced, _ = replace_label_tokens(obj["name"], label_map)
+                if replaced:
+                    obj["name"] = new_name
+            vals[i] = json.dumps(data, ensure_ascii=False)
+        df[col] = vals
     df.to_csv(out_csv, index=False, encoding="utf-8-sig")
 
 
