@@ -273,19 +273,25 @@ def _py_scan(rows: Sequence) -> AnnTable:
     )
 
 
-def encode_cells(cells) -> list:
-    """Per-cell utf-8 bytes (None for non-string cells). A pandas string
-    column encodes in one Arrow pass (cast to large_binary is a metadata-only
-    view of the utf-8 buffer) instead of a per-cell str->bytes round trip."""
+def encode_cells(cells):
+    """Per-cell utf-8 bytes for the native scanners. A pandas string column
+    returns a zero-copy BlobRows view of its Arrow buffers (no per-row Python
+    objects at all); anything else becomes a list of bytes/None."""
     try:
         import pandas as pd
 
         if isinstance(cells, pd.Series):
             import pyarrow as pa
 
+            from ..runtime import BlobRows
+
             arr = pa.array(cells, from_pandas=True)
             if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-                return arr.cast(pa.large_binary()).to_pylist()
+                arr = arr.cast(pa.large_binary())
+                import os as _os
+                if arr.offset == 0 and not _os.environ.get("DYD_NO_BLOB"):
+                    return BlobRows.from_arrow(arr)
+                return arr.to_pylist()
             cells = cells.tolist()
     except Exception:
         cells = list(cells)

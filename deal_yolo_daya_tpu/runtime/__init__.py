@@ -65,6 +65,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.scan_boxes.restype = None
         lib.count_ann.argtypes = [
@@ -72,6 +73,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.count_ann.restype = None
         lib.scan_ann.argtypes = [
@@ -85,6 +87,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.scan_ann.restype = None
         lib.rewrite_ptlists_rows.argtypes = [
@@ -97,6 +100,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.rewrite_ptlists_rows.restype = None
         lib.splice_items2.argtypes = [
@@ -113,6 +117,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.splice_items2.restype = None
         lib.match_predictions.argtypes = [
@@ -150,6 +155,97 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _LIB
 
 
+class BlobRows:
+    """Zero-copy row source: one utf-8 blob + int64 offsets[n+1] (+ optional
+    validity bytes) — the buffer layout of an Arrow string column. Acts as a
+    sequence of per-row bytes (None for nulls) for the Python fallback
+    paths; the native entry points consume the buffers directly, so a pandas
+    string column reaches C++ without any per-row Python objects."""
+
+    __slots__ = ("n", "addr", "off", "valid", "_mv", "_keep")
+
+    def __init__(self, n, addr, off, valid, mv, keep):
+        self.n = n
+        self.addr = addr
+        self.off = off          # int64 ndarray view, len n+1
+        self.valid = valid      # uint8 ndarray or None (all valid)
+        self._mv = mv           # memoryview over the blob
+        self._keep = keep
+
+    @classmethod
+    def from_arrow(cls, arr):
+        """Build from a pyarrow large_binary/large_string Array (offset 0)."""
+        bufs = arr.buffers()  # [validity, offsets(int64 x n+1), data]
+        n = len(arr)
+        off = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1)
+        valid = None
+        if arr.null_count:
+            valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+        data = bufs[2]
+        if data is None:
+            empty = b"\x00"
+            mv = memoryview(empty)
+            addr = ctypes.cast(empty, ctypes.c_void_p).value
+            keep = [arr, bufs, empty]
+        else:
+            mv = memoryview(data)
+            addr = data.address
+            keep = [arr, bufs]
+        return cls(n, addr, off, valid, mv, keep)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if self.valid is not None and not self.valid[i]:
+            return None
+        return bytes(self._mv[int(self.off[i]):int(self.off[i + 1])])
+
+    def __iter__(self):
+        off = self.off.tolist()
+        if self.valid is None:
+            for i in range(self.n):
+                yield bytes(self._mv[off[i]:off[i + 1]])
+        else:
+            va = self.valid
+            for i in range(self.n):
+                yield bytes(self._mv[off[i]:off[i + 1]]) if va[i] else None
+
+    def row_lengths(self) -> np.ndarray:
+        lens = np.diff(self.off)
+        if self.valid is not None:
+            lens = np.where(self.valid.astype(bool), lens, 0)
+        return lens
+
+
+def _row_src(rows):
+    """(char** | None, blob addr, offsets addr, valid addr, keepalive) —
+    the trailing (rows, blob, boff, bvalid) arguments of the native entry
+    points, from either a BlobRows or a list of bytes/None."""
+    if isinstance(rows, BlobRows):
+        boff = np.ascontiguousarray(rows.off, np.int64)
+        keep = [rows, boff]
+        bvalid = None
+        if rows.valid is not None:
+            bvalid = np.ascontiguousarray(rows.valid, np.uint8)
+            keep.append(bvalid)
+        return (
+            None, ctypes.c_void_p(rows.addr),
+            ctypes.c_void_p(boff.ctypes.data),
+            ctypes.c_void_p(bvalid.ctypes.data) if bvalid is not None else None,
+            keep,
+        )
+    n = len(rows)
+    arr = (ctypes.c_char_p * max(n, 1))(*rows)
+    return arr, None, None, None, [arr, rows]
+
+
+def _row_lengths(rows) -> np.ndarray:
+    if isinstance(rows, BlobRows):
+        return rows.row_lengths()
+    return np.array([len(e) if e else 0 for e in rows], np.int64)
+
+
 def scan_boxes_native(
     rows: Sequence,
     two_point_only: bool,
@@ -158,7 +254,8 @@ def scan_boxes_native(
     pre_encoded: bool = False,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     """Extract (boxes (N,M,4) f32, mask (N,M) bool, counts (N,), wh (N,2))
-    from a column of annotation JSON strings. None if native lib unavailable.
+    from a column of annotation JSON strings (list, or BlobRows for the
+    zero-copy Arrow path). None if native lib unavailable.
 
     two_point_only=True reproduces the IoU-filter extraction (exactly-2-point
     ptLists only); False gives poly->bbox min/max semantics.
@@ -167,13 +264,13 @@ def scan_boxes_native(
     if lib is None:
         return None
     n = len(rows)
-    if pre_encoded:
-        encoded = rows if isinstance(rows, list) else list(rows)
+    if isinstance(rows, BlobRows) or pre_encoded:
+        encoded = rows
     else:
         encoded = [
             (r.encode("utf-8") if isinstance(r, str) else None) for r in rows
         ]
-    arr = (ctypes.c_char_p * n)(*encoded)
+    arr, blob, boff, bvalid, keep = _row_src(encoded)
     out_boxes = np.zeros((n, max_boxes, 4), np.float32)
     out_mask = np.zeros((n, max_boxes), np.uint8)
     out_counts = np.zeros((n,), np.int32)
@@ -183,7 +280,9 @@ def scan_boxes_native(
     lib.scan_boxes(
         arr, n, int(two_point_only), max_boxes,
         out_boxes, out_mask, out_counts, out_wh, n_threads,
+        blob, boff, bvalid,
     )
+    del keep
     return out_boxes, out_mask.astype(bool), out_counts, out_wh
 
 
@@ -205,13 +304,16 @@ def rewrite_ptlists_native(
     n = len(encoded)
     if n == 0:
         return []
-    arr = (ctypes.c_char_p * n)(*encoded)
-    do8 = np.ascontiguousarray(
-        np.asarray(do_row, bool)
-        & np.array([e is not None for e in encoded]),
-        dtype=np.uint8,
-    )
-    row_len = np.array([len(e) if e else 0 for e in encoded], np.int64)
+    arr, blob, boff, bvalid, keep = _row_src(encoded)
+    if isinstance(encoded, BlobRows):
+        not_null = (
+            encoded.valid.astype(bool) if encoded.valid is not None
+            else np.ones(n, bool)
+        )
+    else:
+        not_null = np.array([e is not None for e in encoded], bool)
+    do8 = np.ascontiguousarray(np.asarray(do_row, bool) & not_null, np.uint8)
+    row_len = _row_lengths(encoded)
     nobj = np.diff(obj_offsets)
     # per-object growth bound: bbox text <=131 B + insert scaffolding <=25 B
     cap_off = np.zeros(n + 1, np.int64)
@@ -224,8 +326,9 @@ def rewrite_ptlists_native(
         arr, n, do8, np.ascontiguousarray(obj_offsets, np.int64),
         np.ascontiguousarray(obj_i32, np.int32).reshape(-1),
         np.ascontiguousarray(obj_box, np.float64).reshape(-1),
-        out, cap_off, out_len, n_threads,
+        out, cap_off, out_len, n_threads, blob, boff, bvalid,
     )
+    del keep
     # decode straight out of the arena: a memoryview slice per row instead of
     # one tobytes() copy of the whole (possibly GB-sized) output buffer
     mv = memoryview(out)
@@ -280,15 +383,14 @@ def splice_items2_native(
     n_items = len(item_row)
     if n_items == 0:
         return []
-    n = len(encoded)
-    arr = (ctypes.c_char_p * max(n, 1))(*encoded)
+    arr, blob, boff, bvalid, keep = _row_src(encoded)
     item_row = np.ascontiguousarray(item_row, np.int64)
     edit_off = np.ascontiguousarray(edit_off, np.int64)
     edit_s = np.ascontiguousarray(edit_s, np.int64)
     edit_e = np.ascontiguousarray(edit_e, np.int64)
     rep_s = np.ascontiguousarray(rep_s, np.int64)
     rep_len = np.ascontiguousarray(rep_len, np.int64)
-    row_len = np.array([len(e) if e else 0 for e in encoded], np.int64)
+    row_len = _row_lengths(encoded)
     rl_cum = np.zeros(len(rep_len) + 1, np.int64)
     np.cumsum(rep_len, out=rl_cum[1:])
     item_rep = rl_cum[edit_off[1:]] - rl_cum[edit_off[:-1]]
@@ -301,8 +403,9 @@ def splice_items2_native(
         n_threads = min(os.cpu_count() or 1, 16)
     lib.splice_items2(
         arr, item_row, n_items, edit_off, edit_s, edit_e, rep, rep_s, rep_len,
-        out, cap_off, out_len, n_threads,
+        out, cap_off, out_len, n_threads, blob, boff, bvalid,
     )
+    del keep
     mv = memoryview(out)
     offs = cap_off.tolist()
     return [
@@ -440,18 +543,18 @@ def scan_annotations_native(
     if lib is None:
         return None
     n = len(rows)
-    if pre_encoded:
-        encoded = rows if isinstance(rows, list) else list(rows)
+    if isinstance(rows, BlobRows) or pre_encoded:
+        encoded = rows
     else:
         encoded = [
             (r.encode("utf-8") if isinstance(r, str) else None) for r in rows
         ]
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
-    arr = (ctypes.c_char_p * max(n, 1))(*encoded)
+    arr, blob, boff, bvalid, keep = _row_src(encoded)
     nobj = np.zeros(max(n, 1), np.int32)
     name_bytes = np.zeros(max(n, 1), np.int64)
-    lib.count_ann(arr, n, nobj, name_bytes, n_threads)
+    lib.count_ann(arr, n, nobj, name_bytes, n_threads, blob, boff, bvalid)
     obj_offsets = np.zeros(n + 1, np.int64)
     name_off = np.zeros(n + 1, np.int64)
     if n:
@@ -467,8 +570,9 @@ def scan_annotations_native(
     lib.scan_ann(
         arr, n, obj_offsets, name_off, row_i32.reshape(-1),
         row_wh.reshape(-1), obj_i32.reshape(-1), obj_box.reshape(-1),
-        name_pos.reshape(-1), arena, n_threads,
+        name_pos.reshape(-1), arena, n_threads, blob, boff, bvalid,
     )
+    del keep
     return (
         encoded, row_i32[:n], row_wh[:n], obj_offsets, obj_i32[:m],
         obj_box[:m], name_pos[:m], arena.tobytes(),

@@ -156,11 +156,11 @@ int parse_ptlist(Cursor& c, std::vector<Pt>& pts) {
 }
 
 // Scan one row. Returns number of boxes written (<= max_boxes).
-int scan_row(const char* json, int two_point_only, int max_boxes,
-             float* boxes, uint8_t* mask, float* wh) {
+int scan_row(const char* json, int64_t jlen, int two_point_only,
+             int max_boxes, float* boxes, uint8_t* mask, float* wh) {
   wh[0] = -1.0f; wh[1] = -1.0f;
-  if (json == nullptr) return 0;
-  Cursor c{json, json + strlen(json)};
+  if (json == nullptr || jlen < 0) return 0;
+  Cursor c{json, json + jlen};
   skip_ws(c);
   if (c.eof() || *c.p != '{') return 0;
   ++c.p;
@@ -762,11 +762,12 @@ bool parse_object(Cursor& c, const char* base, ObjOut& o) {
 }
 
 // Full strict scan of one row.
-void scan_row(const char* json, RowOut& row, std::vector<ObjOut>& objs) {
+void scan_row(const char* json, int64_t jlen, RowOut& row,
+              std::vector<ObjOut>& objs) {
   objs.clear();
   row = RowOut{};
-  if (json == nullptr) { row.status = ROW_NULL; return; }
-  Cursor c{json, json + strlen(json)};
+  if (json == nullptr || jlen < 0) { row.status = ROW_NULL; return; }
+  Cursor c{json, json + jlen};
   skip_ws(c);
   if (c.eof()) { row.status = ROW_INVALID; return; }  // json.loads("") raises
   const char* base = json;
@@ -882,19 +883,43 @@ void scan_row(const char* json, RowOut& row, std::vector<ObjOut>& objs) {
 
 }  // namespace ann
 
+// Row source: either a char** of NUL-terminated cells (None -> nullptr) or
+// one contiguous utf-8 blob with int64 offsets[n+1] + optional validity —
+// the zero-copy shape of an Arrow string column. Exported functions take
+// both; rows == nullptr selects blob mode.
+struct RowSrc {
+  const char* const* rows;
+  const char* blob;
+  const int64_t* off;
+  const uint8_t* valid;
+  inline bool is_null(int64_t i) const {
+    return rows ? rows[i] == nullptr : (valid && !valid[i]);
+  }
+  inline const char* ptr(int64_t i) const {
+    return rows ? rows[i] : blob + off[i];
+  }
+  inline int64_t len(int64_t i) const {
+    if (rows) return rows[i] ? (int64_t)strlen(rows[i]) : -1;
+    if (valid && !valid[i]) return -1;
+    return off[i + 1] - off[i];
+  }
+};
+
 }  // namespace
 
 extern "C" {
 
 // Pass 1: per-row dict-object count and total unescaped name bytes.
 void count_ann(const char** rows, int64_t n_rows, int32_t* out_nobj,
-               int64_t* out_name_bytes, int n_threads) {
+               int64_t* out_name_bytes, int n_threads, const char* blob,
+               const int64_t* boff, const uint8_t* bvalid) {
   if (n_threads < 1) n_threads = 1;
+  RowSrc src{rows, blob, boff, bvalid};
   auto work = [&](int64_t start, int64_t end) {
     ann::RowOut row;
     std::vector<ann::ObjOut> objs;
     for (int64_t i = start; i < end; ++i) {
-      ann::scan_row(rows[i], row, objs);
+      ann::scan_row(src.ptr(i), src.len(i), row, objs);
       out_nobj[i] = (int32_t)objs.size();
       int64_t nb = 0;
       for (const auto& o : objs) nb += o.name_len;
@@ -919,13 +944,15 @@ void count_ann(const char** rows, int64_t n_rows, int32_t* out_nobj,
 void scan_ann(const char** rows, int64_t n_rows, const int64_t* obj_off,
               const int64_t* name_off, int32_t* row_i32, double* row_wh,
               int32_t* obj_i32, double* obj_box, int64_t* name_pos,
-              char* arena, int n_threads) {
+              char* arena, int n_threads, const char* blob,
+              const int64_t* boff, const uint8_t* bvalid) {
   if (n_threads < 1) n_threads = 1;
+  RowSrc src{rows, blob, boff, bvalid};
   auto work = [&](int64_t start, int64_t end) {
     ann::RowOut row;
     std::vector<ann::ObjOut> objs;
     for (int64_t i = start; i < end; ++i) {
-      ann::scan_row(rows[i], row, objs);
+      ann::scan_row(src.ptr(i), src.len(i), row, objs);
       int32_t* r = row_i32 + i * 6;
       r[0] = row.status;
       r[1] = row.objects_kind;
@@ -986,16 +1013,19 @@ extern "C" {
 
 void scan_boxes(const char** rows, int64_t n_rows, int two_point_only,
                 int max_boxes, float* out_boxes, uint8_t* out_mask,
-                int32_t* out_counts, float* out_wh, int n_threads) {
+                int32_t* out_counts, float* out_wh, int n_threads,
+                const char* blob, const int64_t* boff,
+                const uint8_t* bvalid) {
   if (n_threads < 1) n_threads = 1;
+  RowSrc src{rows, blob, boff, bvalid};
   auto work = [&](int64_t start, int64_t end) {
     for (int64_t i = start; i < end; ++i) {
       float* b = out_boxes + i * (int64_t)max_boxes * 4;
       uint8_t* m = out_mask + i * (int64_t)max_boxes;
       memset(b, 0, sizeof(float) * max_boxes * 4);
       memset(m, 0, max_boxes);
-      out_counts[i] = scan_row(rows[i], two_point_only, max_boxes, b, m,
-                               out_wh + i * 2);
+      out_counts[i] = scan_row(src.ptr(i), src.len(i), two_point_only,
+                               max_boxes, b, m, out_wh + i * 2);
     }
   };
   if (n_threads == 1 || n_rows < 1024) {
@@ -1121,14 +1151,16 @@ void rewrite_ptlists_rows(const char** rows, int64_t n_rows,
                           const uint8_t* do_row, const int64_t* obj_off,
                           const int32_t* obj_i32, const double* obj_box,
                           char* out, const int64_t* cap_off, int64_t* out_len,
-                          int n_threads) {
+                          int n_threads, const char* blob, const int64_t* boff,
+                          const uint8_t* bvalid) {
   if (n_threads < 1) n_threads = 1;
+  RowSrc src{rows, blob, boff, bvalid};
   auto work = [&](int64_t start, int64_t end) {
     char text[192];
     for (int64_t i = start; i < end; ++i) {
-      if (!do_row[i] || rows[i] == nullptr) { out_len[i] = -1; continue; }
-      const char* raw = rows[i];
-      int64_t raw_len = (int64_t)strlen(raw);
+      if (!do_row[i] || src.is_null(i)) { out_len[i] = -1; continue; }
+      const char* raw = src.ptr(i);
+      int64_t raw_len = src.len(i);
       char* w = out + cap_off[i];
       int64_t pos = 0;
       for (int64_t j = obj_off[i]; j < obj_off[i + 1]; ++j) {
@@ -1192,13 +1224,17 @@ void splice_items2(const char** rows, const int64_t* item_row, int64_t n_items,
                    const int64_t* edit_off, const int64_t* edit_s,
                    const int64_t* edit_e, const char* rep,
                    const int64_t* rep_s, const int64_t* rep_len, char* out,
-                   const int64_t* cap_off, int64_t* out_len, int n_threads) {
+                   const int64_t* cap_off, int64_t* out_len, int n_threads,
+                   const char* blob, const int64_t* boff,
+                   const uint8_t* bvalid) {
   if (n_threads < 1) n_threads = 1;
+  RowSrc src{rows, blob, boff, bvalid};
   auto work = [&](int64_t start, int64_t end) {
     for (int64_t k = start; k < end; ++k) {
-      const char* raw = rows[item_row[k]];
-      if (raw == nullptr) { out_len[k] = -1; continue; }
-      int64_t raw_len = (int64_t)strlen(raw);
+      int64_t ri = item_row[k];
+      if (src.is_null(ri)) { out_len[k] = -1; continue; }
+      const char* raw = src.ptr(ri);
+      int64_t raw_len = src.len(ri);
       char* w = out + cap_off[k];
       int64_t pos = 0;
       for (int64_t e = edit_off[k]; e < edit_off[k + 1]; ++e) {

@@ -185,3 +185,37 @@ def test_native_matcher_matches_numpy():
         finally:
             rt.match_predictions_native = orig
         np.testing.assert_array_equal(native, ref, err_msg=f"trial {trial}")
+
+
+def test_blob_rows_parity_with_list_mode():
+    """Zero-copy Arrow BlobRows input must produce identical tables/rewrites
+    to the per-row bytes list path."""
+    import json
+
+    import pandas as pd
+
+    from deal_yolo_daya_tpu.datakit import columnar
+    from deal_yolo_daya_tpu.runtime import BlobRows, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native labelscan unavailable (no g++)")
+    cells = [
+        json.dumps({"width": 10, "height": 20, "objects": [
+            {"name": "猫,狗", "polygon": {"ptList": [
+                {"x": 1, "y": 2}, {"x": 3.5, "y": 4}]}}]}, ensure_ascii=False),
+        None, "not json", "",
+        json.dumps({"objects": []}),
+    ] * 40
+    t_list = columnar.build_table(list(cells))
+    t_blob = columnar.build_table(pd.Series(cells, dtype=object))
+    assert isinstance(t_blob.raw, BlobRows)
+    assert (t_list.status == t_blob.status).all()
+    assert t_list.names == t_blob.names
+    assert (t_list.spans == t_blob.spans).all()
+    for i in range(len(cells)):
+        assert t_blob.raw[i] == t_list.raw[i]
+    assert columnar.rewrite_ptlists(t_list) == columnar.rewrite_ptlists(t_blob)
+    objs = np.arange(t_list.m)
+    lbls = np.array(["X"] * t_list.m, object)
+    assert columnar.extract_single_objects(t_list, objs, lbls) == \
+        columnar.extract_single_objects(t_blob, objs, lbls)
