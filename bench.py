@@ -22,6 +22,8 @@ Flags (driver default = no flags, output shape unchanged):
   --scale {n,s,m,l,x}   bench a different model scale (default n)
   --weights CKPT_DIR    also bench e2e inference with trained weights loaded
                         via api.YOLO.load (adds trained_* fields)
+  --int8                also bench the post-training int8 (w8a8) serving path
+                        (models/quant.py; adds int8_* fields)
 """
 
 from __future__ import annotations
@@ -70,6 +72,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="n", choices=sorted(ANCHOR_MS))
     ap.add_argument("--weights", default="", help="orbax ckpt dir (trainer output)")
+    ap.add_argument("--int8", action="store_true",
+                    help="also bench the int8 (w8a8) serving path")
     args = ap.parse_args()
     scale = args.scale
     import jax
@@ -133,6 +137,37 @@ def main():
     infer_mfu = (
         infer_flops * big_ips / big / (_peak_tflops(jax.devices()[0]) * 1e12)
     )
+
+    # ------------------------------------------------------------ int8 (opt)
+    int8_ips = None
+    if args.int8:
+        from deal_yolo_daya_tpu.models.quant import (
+            quantize_int8, quantized_apply,
+        )
+
+        calib = [(images_big.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)]
+        qtree = quantize_int8(model, fused, calib)
+        q_apply = quantized_apply(model, fused, qtree)
+
+        @jax.jit
+        def infer_int8(imgs, tok, conf):
+            x = (imgs.astype(jnp.bfloat16) + tok) / 255.0
+            box, cls = q_apply(x)
+            boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
+            det = batched_nms(
+                boxes, scores, conf_thres=conf, iou_thres=0.7,
+                pre_topk=512, max_det=300,
+            )
+            return (jnp.sum(det[3]).astype(jnp.bfloat16) * 1e-9).astype(jnp.bfloat16)
+
+        tok = infer_int8(images_big, tok0, jnp.float32(0.25))
+        _ = float(tok)
+        t0 = time.perf_counter()
+        tok = tok0
+        for _ in range(20):
+            tok = infer_int8(images_big, tok, jnp.float32(0.25))
+        _ = float(tok)
+        int8_ips = big * 20 / (time.perf_counter() - t0)
 
     # ------------------------------------------------- trained weights (opt)
     trained_ips = None
@@ -232,7 +267,8 @@ def main():
         f"NMS-stress {stress_ips:.1f} img/s ({stress_ms * 1e3:.2f} ms/batch), "
         f"train {train_ips:.1f} img/s ({train_step_s * 1e3:.2f} ms/step), "
         f"train b{big} {train_big_ips:.1f} img/s (MFU {100 * train_mfu:.1f}%)"
-        + (f", trained-ckpt infer {trained_ips:.1f} img/s" if trained_ips else ""),
+        + (f", trained-ckpt infer {trained_ips:.1f} img/s" if trained_ips else "")
+        + (f", int8 b{big} {int8_ips:.1f} img/s" if int8_ips else ""),
         file=sys.stderr,
     )
     out = {
@@ -252,6 +288,8 @@ def main():
     if trained_ips is not None:
         out["trained_ckpt"] = args.weights
         out["trained_infer_images_per_sec"] = round(trained_ips, 1)
+    if int8_ips is not None:
+        out[f"int8_b{big}_images_per_sec"] = round(int8_ips, 1)
     print(json.dumps(out))
 
 

@@ -178,14 +178,29 @@ class YOLO:
         # (conf/iou ride as traced scalars, so threshold sweeps reuse it;
         # max_det is static — a new value compiles once)
         if getattr(self, "_infer_jit", None) is None:
-            def _infer(variables, images, conf_t, iou_t, max_det):
-                x = images.astype(jnp.bfloat16) / 255.0
-                box, cls = self._model.apply(variables, x, train=False)
-                boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
-                return batched_nms(
-                    boxes, scores, conf_thres=conf_t, iou_thres=iou_t,
-                    pre_topk=1000, max_det=max_det,
-                )
+            quant = getattr(self, "_quant", None)
+            if quant is not None:
+                from .models.quant import quantized_apply
+
+                q_apply = quantized_apply(self._model, *quant)
+
+                def _infer(variables, images, conf_t, iou_t, max_det):
+                    x = images.astype(jnp.bfloat16) / 255.0
+                    box, cls = q_apply(x)  # calibrated convs run int8
+                    boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
+                    return batched_nms(
+                        boxes, scores, conf_thres=conf_t, iou_thres=iou_t,
+                        pre_topk=1000, max_det=max_det,
+                    )
+            else:
+                def _infer(variables, images, conf_t, iou_t, max_det):
+                    x = images.astype(jnp.bfloat16) / 255.0
+                    box, cls = self._model.apply(variables, x, train=False)
+                    boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
+                    return batched_nms(
+                        boxes, scores, conf_thres=conf_t, iou_thres=iou_t,
+                        pre_topk=1000, max_det=max_det,
+                    )
             self._infer_jit = jax.jit(_infer, static_argnames=("max_det",))
 
         def infer(images):
@@ -228,6 +243,58 @@ class YOLO:
                     names=self.names,
                 ))
         return results
+
+    # ------------------------------------------------------------------ int8
+
+    def quantize_int8(self, calib_source, max_images: int = 64,
+                      batch_size: int = 16) -> "YOLO":
+        """Switch predict() to the post-training int8 (w8a8) serving path.
+
+        ``calib_source`` accepts the same forms as predict() (directory,
+        paths, arrays); a few dozen representative images calibrate the
+        per-conv activation ranges. Weights quantize per-output-channel over
+        the BN-folded kernels; depthwise and detect-head logit convs stay
+        full precision (models/quant.py). The v5e MXU runs int8 at 2x bf16.
+        """
+        import jax.numpy as jnp
+
+        from .models.quant import quantize_int8 as _quantize
+        from .models.yolo11 import fuse_conv_bn
+        from .ops.letterbox import letterbox_numpy
+        from .train.data import load_image
+
+        self._ensure_built()
+        if isinstance(calib_source, (str, Path)):
+            p = Path(calib_source)
+            srcs = sorted(
+                q for q in p.iterdir()
+                if q.suffix.lower() in {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+            ) if p.is_dir() else [p]
+        elif isinstance(calib_source, np.ndarray):
+            srcs = [calib_source]
+        else:
+            srcs = list(calib_source)
+        srcs = srcs[:max_images]
+        if not srcs:
+            raise ValueError("quantize_int8 needs at least one calibration image")
+
+        fused = fuse_conv_bn(self._variables)
+
+        def batches():
+            for start in range(0, len(srcs), batch_size):
+                imgs = []
+                for src in srcs[start:start + batch_size]:
+                    img = src if isinstance(src, np.ndarray) else load_image(src)
+                    canvas, _, _ = letterbox_numpy(img, self.imgsz)
+                    imgs.append(canvas)
+                yield jnp.asarray(
+                    np.stack(imgs).astype(np.float32) / 255.0
+                ).astype(jnp.bfloat16)
+
+        qtree = _quantize(self._model, fused, batches())
+        self._quant = (fused, qtree)
+        self._infer_jit = None  # predict() re-jits onto the int8 path
+        return self
 
     # ----------------------------------------------------------------- export
 
