@@ -313,12 +313,22 @@ class YOLO:
         fused = fuse_conv_bn(jax.device_get(self._variables))
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(out_dir / "variables", fused, force=True)
+        quant = getattr(self, "_quant", None)
+        if quant is not None:
+            # int8 calibration round-trips with the bundle: {path string ->
+            # {w_int8, w_scale, a_scale}} (orbax-friendly nested dict)
+            qsave = {
+                "/".join(p): jax.device_get(q) for p, q in quant[1].items()
+            }
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(out_dir / "quant", qsave, force=True)
         (out_dir / "meta.json").write_text(_json.dumps({
             "scale": self.scale,
             "nc": self.nc,
             "names": list(self.names),
             "imgsz": self.imgsz,
             "fused": True,
+            "int8": quant is not None,
         }, ensure_ascii=False))
         return out_dir
 
@@ -442,6 +452,21 @@ class YOLO:
         model._ensure_built()
         with ocp.PyTreeCheckpointer() as ckptr:
             model._variables = ckptr.restore(bundle_dir / "variables")
+        if meta.get("int8"):
+            import jax.numpy as jnp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                qsave = ckptr.restore(bundle_dir / "quant")
+            qtree = {
+                tuple(k.split("/")): {
+                    "w_int8": jnp.asarray(q["w_int8"], jnp.int8),
+                    "w_scale": jnp.asarray(q["w_scale"], jnp.float32),
+                    "a_scale": jnp.float32(q["a_scale"]),
+                }
+                for k, q in qsave.items()
+            }
+            # variables in the bundle are already BN-folded
+            model._quant = (model._variables, qtree)
         return model
 
     # -------------------------------------------------------------------- val

@@ -91,3 +91,19 @@ def test_api_quantize_int8_predict():
     assert [len(d) for d in dets] == n_fp  # same fixed NMS budget shape
     for d in dets:
         assert np.isfinite(d.boxes).all()
+
+
+def test_int8_export_roundtrip(tmp_path):
+    from deal_yolo_daya_tpu.api import YOLO
+
+    rng = np.random.default_rng(2)
+    imgs = [rng.integers(0, 255, (140, 180, 3), np.uint8) for _ in range(3)]
+    m = YOLO("yolo11n", nc=3, imgsz=128)
+    m.quantize_int8(imgs, max_images=3, batch_size=2)
+    before = m.predict(imgs[:1], conf=0.001, batch_size=1)[0]
+    bundle = m.export(tmp_path / "bundle")
+    m2 = YOLO.from_export(bundle)
+    assert getattr(m2, "_quant", None) is not None
+    after = m2.predict(imgs[:1], conf=0.001, batch_size=1)[0]
+    np.testing.assert_allclose(before.boxes, after.boxes, rtol=1e-3, atol=0.5)
+    np.testing.assert_allclose(before.scores, after.scores, rtol=1e-3, atol=1e-3)
