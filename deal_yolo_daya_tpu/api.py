@@ -471,14 +471,21 @@ class YOLO:
 
     # -------------------------------------------------------------------- val
 
-    def val(self, data: str, **kwargs) -> Dict[str, float]:
+    def val(self, data: str, int8: bool = False, **kwargs) -> Dict[str, float]:
         from .train.trainer import TrainConfig, Trainer
 
         cfg = TrainConfig(model=self.model_spec, data=data, val=True)
         for k, v in kwargs.items():
             if hasattr(cfg, k):
                 setattr(cfg, k, v)
-        trainer = Trainer(cfg)
+        eval_apply = None
+        if int8:
+            if getattr(self, "_quant", None) is None:
+                raise ValueError("call quantize_int8() before val(int8=True)")
+            from .models.quant import quantized_apply
+
+            eval_apply = quantized_apply(self._model, *self._quant)
+        trainer = Trainer(cfg, eval_apply=eval_apply)
         if self._variables is not None:
             import jax.numpy as jnp
 

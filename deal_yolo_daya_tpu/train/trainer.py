@@ -167,10 +167,14 @@ def bucket_gt(gt_boxes, gt_classes, gt_mask, max_boxes: int, min_bucket: int = 4
 
 
 class Trainer:
-    def __init__(self, config: TrainConfig, mesh=None):
+    def __init__(self, config: TrainConfig, mesh=None, eval_apply=None):
         self.cfg = config
         self._dev_cache = None
         self._val_staged = None
+        # optional inference-path override for validation (x -> (box, cls));
+        # used by api.val(int8=True) to score the quantized serving path
+        # with the exact same metrics pipeline
+        self._eval_apply = eval_apply
         self.scale = parse_scale(config.model)
         self.train_ds = YoloDataset.from_yaml(config.data, "train")
         self.val_ds = YoloDataset.from_yaml(config.data, "val")
@@ -427,11 +431,16 @@ class Trainer:
 
         conf, iou_t, max_det = self.cfg.conf, self.cfg.iou, self.cfg.max_det
 
+        eval_apply = self._eval_apply
+
         def eval_step(params, batch_stats, images, gt_boxes, gt_classes, gt_mask, inv):
             x = images.astype(self.dtype) / 255.0
-            box, cls = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
+            if eval_apply is not None:  # e.g. the int8 serving path
+                box, cls = eval_apply(x)
+            else:
+                box, cls = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x, train=False
+                )
             _, parts = detection_loss(
                 box, cls, gt_classes, gt_boxes, gt_mask, (imgsz, imgsz), loss_cfg
             )
