@@ -987,28 +987,49 @@ def summarize_unclassified(
     reason_counts = reasons.value_counts().rename_axis("原因").reset_index(name="数量")
 
     # label per row: explicit 无法分类标签 tokens, else the label embedded in a
-    # "标签X未在规则中定义" reason, else the "无标签" bucket
+    # "标签X未在规则中定义" reason, else the "无标签" bucket. Tokenize per
+    # UNIQUE cell value (they repeat heavily) and build the flat (label,
+    # reason) pairs with one chain + repeat instead of a row loop.
+    tl = np.empty(len(df), dtype=object)
     if "无法分类标签" in df.columns:
-        explicit = df["无法分类标签"].apply(
-            lambda v: str(v) if v is not None and not (isinstance(v, float) and pd.isna(v)) else ""
+        codes, uniq = pd.factorize(
+            df["无法分类标签"].to_numpy(dtype=object), use_na_sentinel=False
         )
-        token_lists = explicit.str.split(SEP_PATTERN, regex=True)
-        token_lists = token_lists.apply(
-            lambda ts: [t.strip() for t in ts if t and t.strip()] if isinstance(ts, list) else []
-        )
+        u_lists: list = []
+        for v in uniq:
+            s = (
+                str(v)
+                if v is not None and not (isinstance(v, float) and pd.isna(v))
+                else ""
+            )
+            u_lists.append(
+                [t.strip() for t in re.split(SEP_PATTERN, s) if t and t.strip()]
+                if s else []
+            )
+        ua = np.empty(len(u_lists), dtype=object)
+        ua[:] = u_lists
+        tl[:] = ua[codes]
     else:
-        token_lists = pd.Series([[] for _ in range(len(df))])
+        tl[:] = [[]] * len(df)
 
     from_reason = reasons.str.extract(r"^标签(.+?)(?:未在规则中定义)$", expand=False)
-    rows = []
-    for i in range(len(df)):
-        labels = token_lists.iloc[i]
-        if not labels:
-            embedded = from_reason.iloc[i]
-            labels = [embedded] if isinstance(embedded, str) else ["无标签"]
-        for label in labels:
-            rows.append((label, reasons.iloc[i]))
-    pair_df = pd.DataFrame(rows, columns=["标签", "原因"])
+    counts = np.fromiter(map(len, tl), np.int64, len(tl))
+    empty_rows = np.flatnonzero(counts == 0)
+    if len(empty_rows):
+        fb = from_reason.fillna("无标签").to_numpy(dtype=object)
+        for i in empty_rows.tolist():
+            tl[i] = (fb[i],)
+        counts[empty_rows] = 1
+    from itertools import chain
+
+    flat = np.empty(int(counts.sum()), dtype=object)
+    flat[:] = list(chain.from_iterable(tl))
+    pair_df = pd.DataFrame({
+        "标签": pd.Series(flat, dtype=object),
+        "原因": pd.Series(
+            np.repeat(reasons.to_numpy(dtype=object), counts), dtype=object
+        ),
+    })
 
     label_summary = (
         pair_df["标签"].value_counts().rename_axis("标签").reset_index(name="数量")
