@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..utils import xlsx
-from ..utils.csvio import write_csv
+from ..utils.csvio import read_csv, write_csv
 from ..utils.naming import safe_filename
 from . import boxes as boxops
 from . import columnar
@@ -46,9 +46,14 @@ def _require_csv_path(path: str) -> None:
         raise ValueError(f"文件不是CSV格式：{path}（请传入.csv后缀的文件）")
 
 
+# columns whose cells dominate read time (JSON labels, URLs): the fast
+# reader parses them with pyarrow straight into Arrow buffers
+_HEAVY_COLS = ("source", "source_file", LABEL_JSON_COL, NEW_LABEL_JSON_COL)
+
+
 def _load_csv(path: str, encoding: str = "utf-8-sig") -> pd.DataFrame:
     try:
-        return pd.read_csv(path, encoding=encoding, parse_dates=False)
+        return read_csv(path, encoding=encoding, heavy=_HEAVY_COLS)
     except Exception as e:
         raise Exception(f"读取CSV文件失败：{str(e)}") from e
 
@@ -258,7 +263,7 @@ def process_csv_replace_ptlist(
     rebuilds the object tree per row (core/processor.py:283, 294).
     """
     try:
-        df = pd.read_csv(input_csv_path, encoding="utf-8-sig")
+        df = read_csv(input_csv_path, heavy=_HEAVY_COLS)
         print(f"成功读取CSV，共 {len(df)} 行数据")
     except FileNotFoundError:
         print(f"错误：未找到文件 {input_csv_path}")
@@ -326,7 +331,7 @@ def filter_by_box_count_and_iou(
     a jitted, vmapped JAX op in chunks (boxes.high_iou_hits).
     """
     try:
-        df = pd.read_csv(input_csv_path, encoding="utf-8-sig")
+        df = read_csv(input_csv_path, heavy=_HEAVY_COLS)
     except Exception as e:
         print(f"读取失败：{e}")
         return
@@ -473,7 +478,7 @@ def replace_labels_by_mapping(
     sort run as vectorized pandas ops over the flat object table; only rows
     whose names actually change are rewritten (span splice).
     """
-    df = pd.read_csv(input_csv_path, encoding="utf-8-sig")
+    df = read_csv(input_csv_path, heavy=_HEAVY_COLS)
     label_map = _read_label_map(mapping_excel_path, sheet_name, old_col, new_col)
 
     if json_columns is None:
@@ -747,7 +752,7 @@ def split_dataset_by_rules(
     ratio_sum = train_ratio + val_ratio + test_ratio
     train_ratio, val_ratio = train_ratio / ratio_sum, val_ratio / ratio_sum
 
-    df = pd.read_csv(input_csv_path, encoding="utf-8-sig")
+    df = read_csv(input_csv_path, heavy=_HEAVY_COLS)
     # Arrow-string columns -> object up front: this step is take/iloc/assign
     # heavy over 3x-exploded rows, and pandas-3 Arrow strings pay per-cell
     # chunked-take + re-encode costs there (4.1 s of the 50k bench, round 3);

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Optional, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
@@ -70,7 +70,7 @@ def _col_spec(values: pd.Series):
         if trusted:
             return True
         for v in obj:
-            if type(v) is py_type or v is None:
+            if type(v) is py_type or v is None or v is pd.NA:
                 continue
             if type(v) is float and v != v:  # NaN null
                 continue
@@ -163,6 +163,136 @@ def _write_native(df: pd.DataFrame, path: Path, encoding: str) -> bool:
         return ok
     except Exception:
         return False
+
+
+# pandas C-parser default NA tokens (pandas.io.parsers STR_NA_VALUES) — the
+# fast reader's heavy string columns must null the same set
+_PANDAS_NA = [
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+]
+
+
+def _read_fast(path, encoding: str, heavy) -> Optional[pd.DataFrame]:
+    """Hybrid CSV read. One pyarrow.csv pass parses the whole file with the
+    heavy string columns (the ~700 B JSON label cells that dominate read
+    time) forced to large_string. If every LIGHT column comes out numeric —
+    where pyarrow and the pandas C parser agree exactly — the frame builds
+    from that single pass; any light column with a non-numeric type falls
+    back to a pandas read of just those columns (pandas' own inference then
+    decides downstream to_csv bytes). None = caller should use plain pandas.
+    """
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    head = pd.read_csv(path, encoding=encoding, nrows=0)
+    cols = list(head.columns)
+    if len(cols) != len(set(cols)):  # duplicate headers: pandas mangles them
+        return None
+    heavy_set = set(heavy)
+    heavy_present = [c for c in cols if c in heavy_set]
+    if not heavy_present:
+        return None
+    light = [c for c in cols if c not in heavy_set]
+    convert = pacsv.ConvertOptions(
+        column_types={c: pa.large_string() for c in heavy_present},
+        null_values=_PANDAS_NA,
+        strings_can_be_null=True,
+    )
+
+    with open(path, "rb") as f:
+        start = 3 if f.read(3) == b"\xef\xbb\xbf" else 0
+        # newline count for the fast-mode sanity check (page-cache speed)
+        f.seek(start)
+        nl = 0
+        while True:
+            chunk = f.read(1 << 26)
+            if not chunk:
+                break
+            nl += chunk.count(b"\n")
+        # newlines_in_values=True forces a serial parser (6x slower); the
+        # fast mode handles in-block quoted newlines but misparses values
+        # spanning read blocks — the line-count check below catches any
+        # such file and retries in the fully-general mode
+        f.seek(start)
+        try:
+            table = pacsv.read_csv(
+                f,
+                read_options=pacsv.ReadOptions(use_threads=True),
+                parse_options=pacsv.ParseOptions(newlines_in_values=False),
+                convert_options=convert,
+            )
+        except Exception:
+            table = None
+        if table is None or nl not in (len(table) + 1, len(table)):
+            f.seek(start)
+            table = pacsv.read_csv(
+                f,
+                read_options=pacsv.ReadOptions(use_threads=True),
+                parse_options=pacsv.ParseOptions(newlines_in_values=True),
+                convert_options=convert,
+            )
+    if list(table.column_names) != cols:
+        return None
+
+    def light_series(c) -> Optional[pd.Series]:
+        """pandas-BIT-equal conversion, or None when the pandas parser must
+        type the column itself. Integers and all-NA columns are exact in
+        both parsers; float TEXT is not — pandas' default xstrtod is off by
+        an ulp on long mantissas while pyarrow rounds correctly — so float
+        columns (and strings/bools/dates) go back through pandas."""
+        arr = table[c]
+        t = arr.type
+        if pa.types.is_null(t):  # all-NA column: pandas gives float64 NaN
+            return pd.Series(np.full(len(arr), np.nan))
+        if pa.types.is_signed_integer(t):
+            if arr.null_count:  # pandas promotes int-with-NA to float64
+                return pd.Series(
+                    arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+                )
+            return pd.Series(arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return None
+
+    out = {}
+    pandas_cols = []
+    for c in cols:
+        if c in heavy_set:
+            out[c] = pd.Series(table[c].to_pandas(types_mapper=pd.ArrowDtype))
+        else:
+            s = light_series(c)
+            if s is None:
+                pandas_cols.append(c)
+            else:
+                out[c] = s
+    if pandas_cols:  # non-numeric light columns: pandas types them exactly
+        df_light = pd.read_csv(path, encoding=encoding, usecols=pandas_cols)
+        if len(df_light) != len(table):
+            return None
+        for c in pandas_cols:
+            out[c] = df_light[c]
+    df = pd.DataFrame(out)
+    return df[cols]
+
+
+def read_csv(
+    path: Union[str, Path],
+    encoding: str = "utf-8-sig",
+    heavy: Sequence[str] = (),
+) -> pd.DataFrame:
+    """``pd.read_csv(path, encoding=...)`` with the named heavy string
+    columns routed through pyarrow.csv (3-5x faster parse at 1M rows, Arrow
+    buffers land zero-copy in the native scanner). Any surprise — duplicate
+    headers, row-count mismatch, pyarrow errors — falls back to pandas."""
+    norm = encoding.lower().replace("_", "-")
+    if heavy and norm in ("utf-8", "utf-8-sig"):
+        try:
+            df = _read_fast(path, encoding, heavy)
+            if df is not None:
+                return df
+        except Exception:
+            pass
+    return pd.read_csv(path, encoding=encoding)
 
 
 def write_csv(

@@ -217,7 +217,7 @@ def _native_col_spec(values, letter: str, row_strs: List[str]):
         if trusted:
             return True
         for v in obj:
-            if type(v) is py_type or v is None:
+            if type(v) is py_type or v is None or v is pd.NA:
                 continue
             if type(v) is float and v != v:  # NaN null
                 continue

@@ -91,3 +91,56 @@ def test_csv_parity_fuzz(tmp_path):
                 cols[f"c{ci}"] = pd.Series(
                     [rng.random() > .5 for _ in range(n)], dtype=bool)
         _assert_parity(pd.DataFrame(cols), tmp_path)
+
+
+def test_fast_reader_parity(tmp_path):
+    """read_csv(heavy=...) must match pd.read_csv values/dtypes bit-exactly
+    on the shapes the pipeline moves (JSON strings, URLs, numerics, NAs)."""
+    from deal_yolo_daya_tpu.utils.csvio import read_csv
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        rows.append({
+            "source": f"http://h/i_{i}.jpg" if rng.random() > .1 else None,
+            "label": ('{"a": %d, "t": "x,y\\"q\\""}' % i) if rng.random() > .1 else None,
+            "w": rng.choice([640, 1.5, None, -3, 2.0, 1e308, 1e-300,
+                             0.1234567890123456789, float("nan")]),
+            "h": rng.randint(-2 ** 40, 2 ** 40),
+            "note": rng.choice(["ok", "None", "with,comma", 'q"uote', "", None,
+                                "multi\nline", "True", "2024-01-01"]),
+        })
+    p = tmp_path / "t.csv"
+    pd.DataFrame(rows).to_csv(p, index=False, encoding="utf-8-sig")
+
+    got = read_csv(p, heavy=("source", "label"))
+    ref = pd.read_csv(p, encoding="utf-8-sig")
+    assert list(got.columns) == list(ref.columns)
+    assert len(got) == len(ref)
+    for c in got.columns:
+        a = got[c].to_numpy(dtype=object).tolist()
+        b = ref[c].to_numpy(dtype=object).tolist()
+        for x, y in zip(a, b):
+            if pd.isna(y):
+                assert pd.isna(x), (c, x, y)
+            else:
+                assert x == y, (c, x, y)  # floats must be BIT-equal
+    # numeric dtypes must match exactly (they decide downstream write bytes)
+    for c in ("w", "h"):
+        assert got[c].dtype == ref[c].dtype
+
+
+def test_fast_reader_fallbacks(tmp_path):
+    from deal_yolo_daya_tpu.utils.csvio import read_csv
+
+    # no heavy columns present -> plain pandas result
+    p = tmp_path / "a.csv"
+    pd.DataFrame({"x": [1, 2], "y": ["a", "b"]}).to_csv(
+        p, index=False, encoding="utf-8-sig")
+    df = read_csv(p, heavy=("label",))
+    assert df["x"].tolist() == [1, 2] and df["y"].tolist() == ["a", "b"]
+    # duplicate headers -> pandas mangling preserved
+    p2 = tmp_path / "b.csv"
+    p2.write_text("a,a\n1,2\n", encoding="utf-8")
+    df2 = read_csv(p2, encoding="utf-8", heavy=("a",))
+    assert list(df2.columns) == ["a", "a.1"]
