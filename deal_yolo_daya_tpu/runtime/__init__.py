@@ -151,6 +151,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.csv_write.restype = None
         lib.buf_free.argtypes = [ctypes.c_void_p]
         lib.buf_free.restype = None
+        _i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.sheet_parse_count.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+        ]
+        lib.sheet_parse_count.restype = ctypes.c_int
+        lib.sheet_parse_fill.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            _i64p, _i64p,
+        ]
+        lib.sheet_parse_fill.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -412,6 +428,49 @@ def splice_items2_native(
         str(mv[offs[k]:offs[k] + ln], "utf-8") if ln >= 0 else None
         for k, ln in enumerate(out_len.tolist())
     ]
+
+
+# cell kinds emitted by sheet_parse (labelscan.cpp xlsxr::CK_*)
+SHEET_TEXT, SHEET_NUM, SHEET_INT, SHEET_BOOL, SHEET_SHARED = 1, 2, 3, 4, 5
+
+
+def sheet_parse_native(data: bytes):
+    """Two-pass scan of one worksheet XML part (the SpreadsheetML subset
+    this package writes). Returns ``(cell_row, cell_col, cell_kind,
+    cell_num, str_off, arena_bytes, max_row, max_col)`` or None when the
+    native lib is unavailable / the XML uses constructs outside the subset
+    (caller falls back to ElementTree)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_cells = ctypes.c_int64()
+    max_row = ctypes.c_int64()
+    max_col = ctypes.c_int64()
+    str_bytes = ctypes.c_int64()
+    if lib.sheet_parse_count(
+        data, len(data), ctypes.byref(n_cells), ctypes.byref(max_row),
+        ctypes.byref(max_col), ctypes.byref(str_bytes),
+    ) != 0:
+        return None
+    n = int(n_cells.value)
+    cell_row = np.zeros(max(n, 1), np.int64)
+    cell_col = np.zeros(max(n, 1), np.int32)
+    cell_kind = np.zeros(max(n, 1), np.uint8)
+    cell_num = np.zeros(max(n, 1), np.float64)
+    str_off = np.zeros(max(n, 1) * 2, np.int64)
+    arena = np.zeros(max(int(str_bytes.value), 1), np.uint8)
+    n2 = ctypes.c_int64()
+    arena_len = ctypes.c_int64()
+    if lib.sheet_parse_fill(
+        data, len(data), cell_row, cell_col, cell_kind, cell_num, str_off,
+        arena, ctypes.byref(n2), ctypes.byref(arena_len),
+    ) != 0 or int(n2.value) != n:
+        return None
+    return (
+        cell_row[:n], cell_col[:n], cell_kind[:n], cell_num[:n],
+        str_off[: 2 * n].reshape(-1, 2), arena[: int(arena_len.value)],
+        int(max_row.value), int(max_col.value),
+    )
 
 
 # column kinds for sheet_xml_native (must match labelscan.cpp::sheet_xml);

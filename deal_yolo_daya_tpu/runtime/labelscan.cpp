@@ -1509,6 +1509,401 @@ void buf_free(char* p) { free(p); }
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Native xlsx sheet-XML READER for the SpreadsheetML subset this package
+// writes (plus sharedStrings / t="str" cells for foreign files). Python's
+// ElementTree cannot even PARSE the 1M-row category workbooks the split
+// step emits (expat "out of memory" at ~1.2 GB of sheet XML); this scanner
+// streams the part in two passes with O(cells) output. Any construct
+// outside the subset aborts cleanly and the caller falls back to the
+// ElementTree path.
+// ---------------------------------------------------------------------------
+
+namespace xlsxr {
+
+struct Attr {
+  const char* val_s;
+  int64_t val_len;
+};
+
+// Parse XML attributes inside a tag, looking for `name="..."`/'...'.
+// p points after the tag name; end at '>' (caller finds it). Returns true
+// and fills found if the attribute exists.
+inline bool find_attr(const char* p, const char* end, const char* name,
+                      Attr* out) {
+  size_t nl = strlen(name);
+  while (p < end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+      ++p;
+    const char* ns = p;
+    while (p < end && *p != '=' && *p != ' ' && *p != '>' && *p != '/') ++p;
+    if (p >= end || *p != '=') return false;  // bare attr / tag end
+    const char* ne = p;
+    ++p;
+    if (p >= end || (*p != '"' && *p != '\'')) return false;
+    char q = *p++;
+    const char* vs = p;
+    while (p < end && *p != q) ++p;
+    if (p >= end) return false;
+    if ((size_t)(ne - ns) == nl && memcmp(ns, name, nl) == 0) {
+      out->val_s = vs;
+      out->val_len = p - vs;
+      return true;
+    }
+    ++p;  // past closing quote
+  }
+  return false;
+}
+
+// XML-unescape src into dst (dst sized >= len); returns bytes written or -1
+// on an entity the subset doesn't know.
+inline int64_t unescape(const char* s, int64_t len, char* dst) {
+  const char* end = s + len;
+  char* w = dst;
+  while (s < end) {
+    if (*s != '&') { *w++ = *s++; continue; }
+    const char* semi = (const char*)memchr(s, ';', end - s);
+    if (!semi) return -1;
+    int64_t el = semi - s;
+    if (el == 4 && memcmp(s, "&amp", 4) == 0) *w++ = '&';
+    else if (el == 3 && memcmp(s, "&lt", 3) == 0) *w++ = '<';
+    else if (el == 3 && memcmp(s, "&gt", 3) == 0) *w++ = '>';
+    else if (el == 5 && memcmp(s, "&quot", 5) == 0) *w++ = '"';
+    else if (el == 5 && memcmp(s, "&apos", 5) == 0) *w++ = '\'';
+    else if (el > 2 && s[1] == '#') {
+      long cp = (s[2] == 'x' || s[2] == 'X')
+                    ? strtol(s + 3, nullptr, 16)
+                    : strtol(s + 2, nullptr, 10);
+      if (cp <= 0 || cp > 0x10FFFF) return -1;
+      // encode UTF-8
+      if (cp < 0x80) *w++ = (char)cp;
+      else if (cp < 0x800) {
+        *w++ = (char)(0xC0 | (cp >> 6));
+        *w++ = (char)(0x80 | (cp & 0x3F));
+      } else if (cp < 0x10000) {
+        *w++ = (char)(0xE0 | (cp >> 12));
+        *w++ = (char)(0x80 | ((cp >> 6) & 0x3F));
+        *w++ = (char)(0x80 | (cp & 0x3F));
+      } else {
+        *w++ = (char)(0xF0 | (cp >> 18));
+        *w++ = (char)(0x80 | ((cp >> 12) & 0x3F));
+        *w++ = (char)(0x80 | ((cp >> 6) & 0x3F));
+        *w++ = (char)(0x80 | (cp & 0x3F));
+      }
+    } else {
+      return -1;
+    }
+    s = semi + 1;
+  }
+  return w - dst;
+}
+
+// cell kinds emitted by sheet_parse
+enum { CK_TEXT = 1, CK_NUM = 2, CK_INT = 3, CK_BOOL = 4, CK_SHARED = 5 };
+
+struct Sink {
+  // pass 1: counting only
+  int64_t n_cells = 0;
+  int64_t max_row = -1;
+  int64_t max_col = -1;
+  int64_t str_bytes = 0;
+  // pass 2 outputs (null in pass 1)
+  int64_t* cell_row = nullptr;
+  int32_t* cell_col = nullptr;
+  uint8_t* cell_kind = nullptr;
+  double* cell_num = nullptr;
+  int64_t* str_off = nullptr;  // per-cell [start, end) into arena
+  char* arena = nullptr;
+  int64_t arena_pos = 0;
+};
+
+// Core scan. Returns 0 ok, -1 unsupported construct.
+inline int scan(const char* xml, int64_t len, Sink& k) {
+  const char* p = xml;
+  const char* end = xml + len;
+  const char* sd = nullptr;
+  // find <sheetData (reject <sheetData/> empty form handled below)
+  for (const char* q = p; q + 10 < end; ++q) {
+    if (*q == '<' && memcmp(q + 1, "sheetData", 9) == 0) { sd = q + 10; break; }
+  }
+  if (!sd) return -1;
+  if (*sd == '/')  // <sheetData/>
+    return 0;
+  if (*sd != '>') return -1;
+  p = sd + 1;
+  int64_t next_row = 0;
+  while (true) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+      ++p;
+    if (p + 1 >= end) return -1;
+    if (*p != '<') return -1;
+    if (p[1] == '/') {  // </sheetData>
+      return 0;
+    }
+    if (memcmp(p + 1, "row", 3) != 0) return -1;
+    const char* tag_end = (const char*)memchr(p, '>', end - p);
+    if (!tag_end) return -1;
+    Attr a;
+    int64_t row;
+    if (find_attr(p + 4, tag_end, "r", &a)) {
+      row = strtoll(a.val_s, nullptr, 10) - 1;
+      if (row < 0) return -1;
+    } else {
+      row = next_row;
+    }
+    next_row = row + 1;
+    if (row > k.max_row) k.max_row = row;
+    bool self_closed = tag_end[-1] == '/';
+    p = tag_end + 1;
+    if (self_closed) continue;
+    int64_t next_col = 0;
+    while (true) {  // cells
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+        ++p;
+      if (p + 1 >= end) return -1;
+      if (*p != '<') return -1;
+      if (p[1] == '/') {  // </row>
+        const char* te = (const char*)memchr(p, '>', end - p);
+        if (!te) return -1;
+        p = te + 1;
+        break;
+      }
+      if (p[1] != 'c' || (p[2] != ' ' && p[2] != '>' && p[2] != '/'))
+        return -1;
+      const char* cte = (const char*)memchr(p, '>', end - p);
+      if (!cte) return -1;
+      int64_t col;
+      if (find_attr(p + 2, cte, "r", &a)) {
+        col = 0;
+        const char* s = a.val_s;
+        while (s < a.val_s + a.val_len && *s >= 'A' && *s <= 'Z')
+          col = col * 26 + (*s++ - 'A' + 1);
+        col -= 1;
+        if (col < 0) return -1;
+      } else {
+        col = next_col;
+      }
+      next_col = col + 1;
+      char ctype = 'n';  // default number
+      if (find_attr(p + 2, cte, "t", &a)) {
+        if (a.val_len == 9 && memcmp(a.val_s, "inlineStr", 9) == 0) ctype = 'i';
+        else if (a.val_len == 1 && *a.val_s == 's') ctype = 'S';
+        else if (a.val_len == 1 && *a.val_s == 'b') ctype = 'b';
+        else if (a.val_len == 1 && *a.val_s == 'n') ctype = 'n';
+        else if (a.val_len == 3 && memcmp(a.val_s, "str", 3) == 0) ctype = 't';
+        else return -1;
+      }
+      if (cte[-1] == '/') { p = cte + 1; continue; }  // empty cell
+      p = cte + 1;
+      // children until </c>: <v>..</v> and/or <is>..</is>; ignore others?
+      bool have_val = false;
+      const char* val_s = nullptr;
+      int64_t val_len = 0;
+      // inline string: possibly multiple <t> runs, concatenated
+      int64_t text_total = 0;
+      char* text_w = nullptr;  // pass 2: write into arena
+      int64_t text_start = k.arena_pos;
+      bool have_text = false;
+      while (true) {
+        while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+          ++p;
+        if (p + 1 >= end) return -1;
+        if (*p != '<') return -1;
+        if (p[1] == '/') {  // </c>
+          const char* te = (const char*)memchr(p, '>', end - p);
+          if (!te) return -1;
+          if (te - p != 3 || memcmp(p, "</c", 3) != 0) return -1;
+          p = te + 1;
+          break;
+        }
+        if (p[1] == 'v') {  // <v>text</v>
+          const char* te = (const char*)memchr(p, '>', end - p);
+          if (!te) return -1;
+          if (te[-1] == '/') { p = te + 1; have_val = true; val_s = te; val_len = 0; continue; }
+          const char* close = te + 1;
+          while (close + 3 < end && !(close[0] == '<' && close[1] == '/' &&
+                                      close[2] == 'v' && close[3] == '>'))
+            ++close;
+          if (close + 3 >= end) return -1;
+          val_s = te + 1;
+          val_len = close - val_s;
+          have_val = true;
+          p = close + 4;
+          continue;
+        }
+        if (p[1] == 'i' && p + 3 < end && p[2] == 's') {  // <is>
+          const char* te = (const char*)memchr(p, '>', end - p);
+          if (!te) return -1;
+          have_text = true;  // ET joins runs: zero runs still yield ""
+          p = te + 1;
+          // runs of <t ...>text</t> (and we reject anything else inside)
+          while (true) {
+            while (p < end &&
+                   (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+              ++p;
+            if (p + 1 >= end) return -1;
+            if (*p != '<') return -1;
+            if (p[1] == '/') {  // </is>
+              const char* t2 = (const char*)memchr(p, '>', end - p);
+              if (!t2) return -1;
+              if (t2 - p != 4 || memcmp(p, "</is", 4) != 0) return -1;
+              p = t2 + 1;
+              break;
+            }
+            if (p[1] != 't' || (p[2] != '>' && p[2] != ' ' && p[2] != '/'))
+              return -1;
+            const char* t2 = (const char*)memchr(p, '>', end - p);
+            if (!t2) return -1;
+            have_text = true;
+            if (t2[-1] == '/') { p = t2 + 1; continue; }  // <t/>
+            const char* close = t2 + 1;
+            while (close + 3 < end && !(close[0] == '<' && close[1] == '/' &&
+                                        close[2] == 't' && close[3] == '>'))
+              ++close;
+            if (close + 3 >= end) return -1;
+            int64_t raw_len = close - (t2 + 1);
+            if (k.arena) {
+              text_w = k.arena + k.arena_pos;
+              int64_t wl = unescape(t2 + 1, raw_len, text_w);
+              if (wl < 0) return -1;
+              k.arena_pos += wl;
+              text_total += wl;
+            } else {
+              text_total += raw_len;  // upper bound (unescape only shrinks)
+            }
+            p = close + 4;
+          }
+          continue;
+        }
+        return -1;  // unknown child element
+      }
+      // classify + emit
+      uint8_t kind = 0;
+      double num = 0.0;
+      int64_t sp_s = 0, sp_e = 0;
+      if (ctype == 'i') {
+        if (!have_text) continue;  // no runs -> None (ET yields "")? ET joins
+        kind = CK_TEXT;
+        sp_s = text_start;
+        sp_e = k.arena ? k.arena_pos : text_start + text_total;
+      } else if (have_val && val_len > 0) {
+        if (ctype == 'S') {
+          kind = CK_SHARED;
+          num = (double)strtoll(val_s, nullptr, 10);
+        } else if (ctype == 'b') {
+          kind = CK_BOOL;
+          num = (val_len == 1 && *val_s == '1') ? 1.0 : 0.0;
+        } else if (ctype == 't') {
+          kind = CK_TEXT;  // formula string: unescaped text from <v>
+          if (k.arena) {
+            int64_t wl = unescape(val_s, val_len, k.arena + k.arena_pos);
+            if (wl < 0) return -1;
+            sp_s = k.arena_pos;
+            k.arena_pos += wl;
+            sp_e = k.arena_pos;
+          } else {
+            k.str_bytes += val_len;
+            sp_s = sp_e = 0;
+          }
+        } else {  // number (or non-numeric text stored unquoted)
+          // replicate _parse_number: float(text); int when integral and the
+          // TEXT has no '.'/'e'; non-parse -> raw text
+          char buf[64];
+          const char* ts = val_s;
+          const char* te2 = val_s + val_len;
+          while (ts < te2 && (*ts == ' ' || *ts == '\t' || *ts == '\n' ||
+                              *ts == '\r')) ++ts;
+          while (te2 > ts && (te2[-1] == ' ' || te2[-1] == '\t' ||
+                              te2[-1] == '\n' || te2[-1] == '\r')) --te2;
+          int64_t tlen = te2 - ts;
+          if (tlen > 0 && tlen < 63) {
+            memcpy(buf, ts, tlen);
+            buf[tlen] = '\0';
+            char* endp = nullptr;
+            double v = strtod(buf, &endp);
+            if (endp == buf + tlen) {
+              bool has_dot = memchr(buf, '.', tlen) ||
+                             memchr(buf, 'e', tlen) ||
+                             memchr(buf, 'E', tlen);
+              if (!has_dot && v == std::floor(v) && !std::isinf(v)) {
+                kind = CK_INT;
+              } else {
+                kind = CK_NUM;
+              }
+              num = v;
+            }
+          }
+          if (kind == 0) {  // text fallback (incl. >=63-char numerics)
+            kind = CK_TEXT;
+            if (k.arena) {
+              int64_t wl = unescape(val_s, val_len, k.arena + k.arena_pos);
+              if (wl < 0) return -1;
+              sp_s = k.arena_pos;
+              k.arena_pos += wl;
+              sp_e = k.arena_pos;
+            } else {
+              k.str_bytes += val_len;
+            }
+          }
+        }
+      } else {
+        continue;  // no value -> empty cell
+      }
+      if (ctype == 'i' && !k.arena) k.str_bytes += text_total;
+      if (col > k.max_col) k.max_col = col;
+      if (k.cell_row) {
+        k.cell_row[k.n_cells] = row;
+        k.cell_col[k.n_cells] = (int32_t)col;
+        k.cell_kind[k.n_cells] = kind;
+        k.cell_num[k.n_cells] = num;
+        k.str_off[k.n_cells * 2] = sp_s;
+        k.str_off[k.n_cells * 2 + 1] = sp_e;
+      }
+      ++k.n_cells;
+    }
+  }
+}
+
+}  // namespace xlsxr
+
+extern "C" {
+
+// Pass 1: count cells / bound string bytes. Returns 0 ok, -1 unsupported
+// (caller falls back to the ElementTree reader).
+int sheet_parse_count(const char* xml, int64_t len, int64_t* out_n_cells,
+                      int64_t* out_max_row, int64_t* out_max_col,
+                      int64_t* out_str_bytes) {
+  xlsxr::Sink k;
+  int rc = xlsxr::scan(xml, len, k);
+  if (rc != 0) return -1;
+  *out_n_cells = k.n_cells;
+  *out_max_row = k.max_row;
+  *out_max_col = k.max_col;
+  *out_str_bytes = k.str_bytes;
+  return 0;
+}
+
+// Pass 2: fill cell arrays (sized from pass 1).
+int sheet_parse_fill(const char* xml, int64_t len, int64_t* cell_row,
+                     int32_t* cell_col, uint8_t* cell_kind, double* cell_num,
+                     int64_t* str_off, char* arena, int64_t* out_n_cells,
+                     int64_t* out_arena_len) {
+  xlsxr::Sink k;
+  k.cell_row = cell_row;
+  k.cell_col = cell_col;
+  k.cell_kind = cell_kind;
+  k.cell_num = cell_num;
+  k.str_off = str_off;
+  k.arena = arena;
+  int rc = xlsxr::scan(xml, len, k);
+  if (rc != 0) return -1;
+  *out_n_cells = k.n_cells;
+  *out_arena_len = k.arena_pos;
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Native CSV writer: byte-identical to pandas ``df.to_csv(path, index=False)``
 // on the dtypes the datakit moves (str / float64 / int64 / bool). QUOTE_
 // MINIMAL semantics: a field quotes iff it contains ',', '"', '\n' or '\r'

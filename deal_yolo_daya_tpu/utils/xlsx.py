@@ -403,7 +403,83 @@ def _parse_number(text: str):
     return f
 
 
+def _df_from_native(parsed, shared: List[str]) -> pd.DataFrame:
+    """DataFrame assembly for runtime.sheet_parse_native output — identical
+    shape/semantics to the ElementTree path below."""
+    import numpy as np
+
+    from ..runtime import (
+        SHEET_BOOL, SHEET_INT, SHEET_NUM, SHEET_SHARED, SHEET_TEXT,
+    )
+
+    rows, cols, kinds, nums, spans, arena, max_row, max_col = parsed
+    if max_row < 0:
+        return pd.DataFrame()
+    grid = np.full((max_row + 1, max(max_col + 1, 0)), None, dtype=object)
+    vals = np.empty(len(rows), dtype=object)
+    m = kinds == SHEET_NUM
+    vals[m] = nums[m].astype(object)
+    m = kinds == SHEET_INT
+    if m.any():
+        iv = nums[m]
+        small = np.abs(iv) < 2 ** 53
+        out_i = np.empty(len(iv), dtype=object)
+        out_i[small] = iv[small].astype(np.int64).astype(object)
+        for k in np.flatnonzero(~small).tolist():  # beyond int64: exact int()
+            out_i[k] = int(iv[k])
+        vals[m] = out_i
+    m = kinds == SHEET_BOOL
+    if m.any():  # Python bools (np.bool_ would break _cell_xml round-trips)
+        vals[m] = np.array([v == 1.0 for v in nums[m].tolist()], dtype=object)
+    m = kinds == SHEET_SHARED
+    if m.any():
+        vals[m] = np.array(
+            [shared[int(i)] for i in nums[m].tolist()], dtype=object
+        )
+    m = kinds == SHEET_TEXT
+    if m.any():
+        # decode the whole arena ONCE; per-cell strings are slices at CHAR
+        # offsets. Text spans tile the arena contiguously in scan order, so
+        # per-span char counts (utf-8 lead bytes, one reduceat) cumsum into
+        # the char offsets directly — no per-byte offset table.
+        sp_m = spans[m]
+        if len(arena):
+            big = bytes(arena).decode("utf-8")
+            # char count per span = byte length - continuation bytes inside;
+            # two vectorized searchsorteds over the continuation-byte
+            # positions (np.add.reduceat measured 50x slower here)
+            cont = np.flatnonzero((arena & 0xC0) == 0x80)
+            cnt = (sp_m[:, 1] - sp_m[:, 0]) - (
+                np.searchsorted(cont, sp_m[:, 1]) -
+                np.searchsorted(cont, sp_m[:, 0])
+            )
+        else:
+            big = ""
+            cnt = np.zeros(len(sp_m), np.int64)
+        ce = np.cumsum(cnt)
+        cs = ce - cnt
+        vals[m] = np.array(
+            [big[a:b] for a, b in zip(cs.tolist(), ce.tolist())],
+            dtype=object,
+        )
+    if grid.shape[1]:
+        grid[rows, cols] = vals
+    header = ["" if v is None else str(v) for v in grid[0]]
+    df = pd.DataFrame(grid[1:], columns=header)
+    return df.where(df.notna(), other=float("nan"))
+
+
 def _read_sheet_xml(data: bytes, shared: List[str]) -> pd.DataFrame:
+    # native scanner first: ElementTree cannot even parse the GB-sized
+    # sheet parts the split step emits at 1M rows (expat "out of memory")
+    try:
+        from ..runtime import sheet_parse_native
+
+        parsed = sheet_parse_native(data)
+        if parsed is not None:
+            return _df_from_native(parsed, shared)
+    except Exception:
+        pass
     root = ET.fromstring(data)
     sheet_data = root.find(f"{_NS}sheetData")
     if sheet_data is None:

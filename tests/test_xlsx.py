@@ -120,3 +120,44 @@ def test_native_sheet_writer_parity_with_index():
     df = pd.DataFrame({"v": [1.0, 2.0]}, index=pd.Index(["a", "b"], name="idx"))
     got = xlsx._sheet_part(df, index=True)
     assert got == xlsx._sheet_xml(df, index=True).encode("utf-8")
+
+
+def test_native_sheet_reader_matches_elementtree(tmp_path):
+    """The C++ sheet parser must reproduce the ElementTree reader exactly
+    (values, headers, NaN coercion) on every writer edge case."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from deal_yolo_daya_tpu.runtime import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    df = pd.DataFrame({
+        "s": ["猫,狗", " lead", "trail\t", "", None, 'a&b<c>"d', "multi\nline", "x" * 40],
+        "f": [1.5, float("nan"), float("inf"), -float("inf"), 5.0, -0.0, 1e16, 1.23e-7],
+        "i": (np.arange(8, dtype=np.int64) * 1234567) - 99,
+        "b": [True, False] * 4,
+    })
+    path = tmp_path / "edge.xlsx"
+    xlsx.write_workbook(path, {"t": df})
+    native = xlsx.read_workbook(path, 0)
+    script = (
+        "import json, sys, pandas as pd\n"
+        "from deal_yolo_daya_tpu.utils import xlsx\n"
+        f"df = xlsx.read_workbook({str(path)!r}, 0)\n"
+        "print(json.dumps([[None if (isinstance(v, float) and v != v) else"
+        " (repr(v) if isinstance(v, float) else v) for v in row]"
+        " for row in df.itertuples(index=False)], ensure_ascii=False))\n"
+    )
+    env = dict(os.environ, DYD_NO_NATIVE="1")
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, check=True)
+    et_rows = json.loads(out.stdout.strip().splitlines()[-1])
+    nat_rows = [
+        [None if (isinstance(v, float) and v != v) else
+         (repr(v) if isinstance(v, float) else v) for v in row]
+        for row in native.itertuples(index=False)
+    ]
+    assert nat_rows == et_rows
