@@ -313,13 +313,20 @@ def build_table(rows) -> AnnTable:
         k = kinds[j]
         if k == 1 or k == 3:
             names[j] = arena[starts[j]:ends[j]].decode("utf-8", "replace")
-    # str(value) canonicalization for non-string scalars kept as raw tokens
+    # str(value) canonicalization for non-string names kept as raw JSON
+    # tokens: true -> "True", ["l"] -> "['l']", 1.5 -> "1.5" — whatever
+    # Python str() of the parsed value gives (reference semantics)
     for j in np.flatnonzero(kinds == 3):
         t = names[j]
         if t == "true":
             names[j] = "True"
         elif t == "false":
             names[j] = "False"
+        else:
+            try:
+                names[j] = str(json.loads(t))
+            except Exception:
+                pass
     n = row_i32.shape[0]
     obj_row = np.repeat(
         np.arange(n, dtype=np.int64), np.diff(obj_offsets).astype(np.int64)
