@@ -17,6 +17,7 @@ split are prefetched concurrently before execution.
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 from dataclasses import dataclass
 from pathlib import Path
@@ -114,17 +115,20 @@ def _plan_sheet(df_split, source_col, label_col, json_cols, width_col,
     widths, heights = _size(width_col), _size(height_col)
 
     plans = []
+    src_np = sources.to_numpy(dtype=object)       # per-row .iloc costs a
+    has_np = has_source.to_numpy()                # chunk walk on Arrow cols
+    cid_list = class_ids.tolist()
     for i in range(n):
-        src = str(sources.iloc[i]) if has_source.iloc[i] else None
+        src = str(src_np[i]) if has_np[i] else None
         early = None
         if src is None:
             early = "缺少source"
-        elif class_ids[i] < 0:
+        elif cid_list[i] < 0:
             early = "缺少或无效分类标签"
         plans.append(_RowPlan(
             source=src,
             stem=safe_image_stem(src, i) if src else "",
-            class_id=int(class_ids[i]),
+            class_id=cid_list[i],
             boxes=boxes_by_row[i],
             width=widths[i], height=heights[i],
             early_skip=early,
@@ -239,16 +243,21 @@ def generate_yolo_datasets_from_excels(
             # ---- execute (IO only) ------------------------------------------
             images_dir = dataset_dir / "images" / split
             labels_dir = dataset_dir / "labels" / split
+            labels_prefix = str(labels_dir) + os.sep
             for idx, plan in enumerate(plans):
                 tick(category_name, split, excel_path.name, idx)
                 if plan.early_skip:
                     skip(plan.early_skip)
                     continue
 
-                label_path = labels_dir / f"{plan.stem}.txt"
-                if resume and label_path.exists() and label_path.stat().st_size > 0:
-                    stats[split] += 1
-                    continue
+                label_path = Path(labels_prefix + plan.stem + ".txt")
+                if resume:
+                    try:  # one stat covers exists + non-empty
+                        if os.stat(labels_prefix + plan.stem + ".txt").st_size > 0:
+                            stats[split] += 1
+                            continue
+                    except OSError:
+                        pass
 
                 if len(plan.boxes) == 0:
                     skip("无匹配标签框")
@@ -256,7 +265,7 @@ def generate_yolo_datasets_from_excels(
 
                 if download_images:
                     image_path = ensure_image_cached(plan.source, cache_dir)
-                elif Path(plan.source).exists():
+                elif os.path.exists(plan.source):
                     image_path = Path(plan.source)
                 else:
                     image_path = None
