@@ -403,9 +403,44 @@ def _parse_number(text: str):
     return f
 
 
+def _arrow_text_column(r_out, sp, arena, n_rows):
+    """pa.large_string Series for one pure-text column: one vectorized byte
+    gather out of the arena into Arrow buffers — no per-cell Python strings
+    and no Arrow re-encode in the DataFrame constructor."""
+    import numpy as np
+    import pyarrow as pa
+
+    lens = (sp[:, 1] - sp[:, 0]).astype(np.int64)
+    total = int(lens.sum())
+    excl = np.zeros(len(lens), np.int64)
+    np.cumsum(lens[:-1], out=excl[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(excl, lens)
+    data = arena[np.repeat(sp[:, 0], lens) + within]
+    row_lens = np.zeros(n_rows, np.int64)
+    row_lens[r_out] = lens
+    offsets = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(row_lens, out=offsets[1:])
+    present = np.zeros(n_rows, bool)
+    present[r_out] = True
+    bufs = [
+        None if present.all() else pa.py_buffer(
+            np.packbits(present, bitorder="little").tobytes()
+        ),
+        pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(data.tobytes()),
+    ]
+    arr = pa.Array.from_buffers(
+        pa.large_string(), n_rows, bufs,
+        null_count=0 if present.all() else int((~present).sum()),
+    )
+    return pd.Series(arr.to_pandas(types_mapper=pd.ArrowDtype))
+
+
 def _df_from_native(parsed, shared: List[str]) -> pd.DataFrame:
     """DataFrame assembly for runtime.sheet_parse_native output — identical
-    shape/semantics to the ElementTree path below."""
+    shape/semantics to the ElementTree path below. Pure-text body columns
+    build as Arrow arrays directly (byte gather); everything else goes
+    through the object grid + pandas inference exactly like the ET path."""
     import numpy as np
 
     from ..runtime import (
@@ -415,6 +450,31 @@ def _df_from_native(parsed, shared: List[str]) -> pd.DataFrame:
     rows, cols, kinds, nums, spans, arena, max_row, max_col = parsed
     if max_row < 0:
         return pd.DataFrame()
+    n_body = max_row  # body rows (header is row 0)
+    n_cols = max_col + 1
+    # column purity over BODY cells: pure-text columns take the Arrow path
+    arrow_cols = {}
+    if n_body > 0 and n_cols > 0 and len(rows):
+        body = rows >= 1
+        is_text = kinds == SHEET_TEXT
+        text_per_col = np.bincount(cols[body & is_text], minlength=n_cols)
+        any_per_col = np.bincount(cols[body], minlength=n_cols)
+        # DENSE all-text columns only: absent cells would surface as pd.NA
+        # (Arrow null) where the ET path yields NaN — consumers like
+        # _read_label_map's astype(str) filter treat those differently
+        pure = np.flatnonzero(
+            (any_per_col == n_body) & (text_per_col == any_per_col)
+        )
+        for c in pure.tolist():
+            sel = body & (cols == c)
+            arrow_cols[c] = _arrow_text_column(
+                rows[sel] - 1, spans[sel], arena, n_body
+            )
+        if arrow_cols:  # the grid below only carries the remaining cells
+            keep = ~(body & np.isin(cols, pure))
+            rows, cols, kinds, nums, spans = (
+                rows[keep], cols[keep], kinds[keep], nums[keep], spans[keep],
+            )
     grid = np.full((max_row + 1, max(max_col + 1, 0)), None, dtype=object)
     vals = np.empty(len(rows), dtype=object)
     m = kinds == SHEET_NUM
@@ -445,19 +505,15 @@ def _df_from_native(parsed, shared: List[str]) -> pd.DataFrame:
         sp_m = spans[m]
         if len(arena):
             big = bytes(arena).decode("utf-8")
-            # char count per span = byte length - continuation bytes inside;
-            # two vectorized searchsorteds over the continuation-byte
-            # positions (np.add.reduceat measured 50x slower here)
+            # byte offset -> char offset: subtract the continuation bytes
+            # before it (vectorized searchsorted over their positions;
+            # np.add.reduceat measured 50x slower here)
             cont = np.flatnonzero((arena & 0xC0) == 0x80)
-            cnt = (sp_m[:, 1] - sp_m[:, 0]) - (
-                np.searchsorted(cont, sp_m[:, 1]) -
-                np.searchsorted(cont, sp_m[:, 0])
-            )
+            cs = sp_m[:, 0] - np.searchsorted(cont, sp_m[:, 0])
+            ce = sp_m[:, 1] - np.searchsorted(cont, sp_m[:, 1])
         else:
             big = ""
-            cnt = np.zeros(len(sp_m), np.int64)
-        ce = np.cumsum(cnt)
-        cs = ce - cnt
+            cs = ce = np.zeros(len(sp_m), np.int64)
         vals[m] = np.array(
             [big[a:b] for a, b in zip(cs.tolist(), ce.tolist())],
             dtype=object,
@@ -466,7 +522,10 @@ def _df_from_native(parsed, shared: List[str]) -> pd.DataFrame:
         grid[rows, cols] = vals
     header = ["" if v is None else str(v) for v in grid[0]]
     df = pd.DataFrame(grid[1:], columns=header)
-    return df.where(df.notna(), other=float("nan"))
+    df = df.where(df.notna(), other=float("nan"))
+    for c, ser in arrow_cols.items():
+        df.isetitem(c, ser)
+    return df
 
 
 def _read_sheet_xml(data: bytes, shared: List[str]) -> pd.DataFrame:
