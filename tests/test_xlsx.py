@@ -161,3 +161,46 @@ def test_native_sheet_reader_matches_elementtree(tmp_path):
         for row in native.itertuples(index=False)
     ]
     assert nat_rows == et_rows
+
+
+def test_xlsx_roundtrip_fuzz(tmp_path):
+    """Randomized write -> read roundtrips through the native writer AND
+    native reader: values and NaN placement must survive exactly."""
+    import random
+
+    rng = random.Random(99)
+    pool_str = ["猫,狗", "", " pad ", 'q"x', "a&b<c>", "line\nbreak", "🐈",
+                "None", "标签;值"]
+    for trial in range(8):
+        n = rng.randint(0, 25)
+        cols = {}
+        for ci in range(rng.randint(1, 4)):
+            kind = rng.choice(["str", "float", "int", "bool", "mixed"])
+            name = f"c{ci}_{kind}"
+            if kind == "str":
+                cols[name] = [rng.choice(pool_str) if rng.random() > .15
+                              else None for _ in range(n)]
+            elif kind == "float":
+                cols[name] = [rng.choice([1.5, -0.25, 1e16, 5.0,
+                                          float("nan")])
+                              for _ in range(n)]
+            elif kind == "int":
+                cols[name] = [rng.randint(-2 ** 40, 2 ** 40) for _ in range(n)]
+            elif kind == "bool":
+                cols[name] = [rng.random() > .5 for _ in range(n)]
+            else:
+                cols[name] = [rng.choice([7, 2.5, "x", None, True])
+                              for _ in range(n)]
+        df = pd.DataFrame({k: pd.Series(v, dtype=object)
+                           for k, v in cols.items()})
+        path = tmp_path / f"f{trial}.xlsx"
+        xlsx.write_workbook(path, {"s": df})
+        back = xlsx.read_workbook(path, 0)
+        assert list(back.columns) == list(df.columns)
+        assert len(back) == len(df)
+        for c in df.columns:
+            for got, want in zip(back[c].tolist(), df[c].tolist()):
+                if want is None or (isinstance(want, float) and want != want):
+                    assert pd.isna(got), (c, got, want)
+                else:
+                    assert got == want, (c, got, want)
