@@ -76,6 +76,27 @@ def main():
                     help="also bench the int8 (w8a8) serving path")
     args = ap.parse_args()
     scale = args.scale
+
+    # The shared axon tunnel can go down for hours (observed round 3):
+    # jax device init then hangs forever. Probe it in a killable subprocess
+    # so the driver gets a well-formed JSON line instead of a timeout.
+    if not os.environ.get("DYD_NO_PROBE"):
+        import subprocess
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=240,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print(json.dumps({
+                "metric": f"yolo11{scale}_e2e_infer_images_per_sec_640",
+                "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+                "error": "device backend unavailable (init probe timed out)",
+            }))
+            return
+
     import jax
     import jax.numpy as jnp
     import optax
