@@ -242,8 +242,22 @@ def main():
     if not columnar_only:
         results["rowloop_s7"] = timeit(
             rowloop_step7, str(root / "c6.csv"), rules, str(root / "r7"))
+    # step 8 (YOLO generator) read-back: plan + skip-audit over the split
+    # workbooks (sources are synthetic, downloads off). No rowloop
+    # counterpart — the point is that the chain is consumable end-to-end
+    # (the round-2 reader could not even parse these workbooks at 1M rows).
+    from deal_yolo_daya_tpu.datakit import yolo_dataset  # noqa: E402
+
+    cat_xlsx = [
+        str(p) for p in (root / "c7").glob("*.xlsx")
+        if p.name not in ("unclassified.xlsx", "split_counts.xlsx")
+    ]
+    results["columnar_s8_readback"] = timeit(
+        yolo_dataset.generate_yolo_datasets_from_excels, cat_xlsx,
+        str(root / "c8"), download_images=False)
 
     print(f"\n=== datakit bench, n={n} ===")
+    print(f"step s8 read-back: columnar {results['columnar_s8_readback']:8.2f}s")
     total_c = total_r = 0.0
     for s in ("s4", "s5", "s6", "s7"):
         c = results[f"columnar_{s}"]
