@@ -540,6 +540,9 @@ def sheet_xml_native(
         header, len(header), first_row,
         ctypes.byref(out_ptr), ctypes.byref(out_len),
     )
+    if not out_ptr.value or out_len.value < 0:  # allocation failed
+        del keep
+        return None
     try:
         return ctypes.string_at(out_ptr, out_len.value)
     finally:
@@ -567,6 +570,9 @@ def csv_write_native(
         nrows, len(col_specs), kinds, blob_p, off_p, valid_p, f64_p, i64_p,
         header, len(header), ctypes.byref(out_ptr), ctypes.byref(out_len),
     )
+    if not out_ptr.value or out_len.value < 0:  # allocation failed
+        del keep
+        return False
     try:
         if out_len.value:
             buf = (ctypes.c_char * out_len.value).from_address(out_ptr.value)

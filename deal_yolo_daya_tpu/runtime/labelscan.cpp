@@ -1639,7 +1639,7 @@ inline int scan(const char* xml, int64_t len, Sink& k) {
     if (p[1] == '/') {  // </sheetData>
       return 0;
     }
-    if (memcmp(p + 1, "row", 3) != 0) return -1;
+    if (end - p < 5 || memcmp(p + 1, "row", 3) != 0) return -1;
     const char* tag_end = (const char*)memchr(p, '>', end - p);
     if (!tag_end) return -1;
     Attr a;
@@ -1667,7 +1667,8 @@ inline int scan(const char* xml, int64_t len, Sink& k) {
         p = te + 1;
         break;
       }
-      if (p[1] != 'c' || (p[2] != ' ' && p[2] != '>' && p[2] != '/'))
+      if (end - p < 4 || p[1] != 'c' ||
+          (p[2] != ' ' && p[2] != '>' && p[2] != '/'))
         return -1;
       const char* cte = (const char*)memchr(p, '>', end - p);
       if (!cte) return -1;
@@ -1749,7 +1750,8 @@ inline int scan(const char* xml, int64_t len, Sink& k) {
               p = t2 + 1;
               break;
             }
-            if (p[1] != 't' || (p[2] != '>' && p[2] != ' ' && p[2] != '/'))
+            if (end - p < 4 || p[1] != 't' ||
+                (p[2] != '>' && p[2] != ' ' && p[2] != '/'))
               return -1;
             const char* t2 = (const char*)memchr(p, '>', end - p);
             if (!t2) return -1;
@@ -1815,7 +1817,12 @@ inline int scan(const char* xml, int64_t len, Sink& k) {
           while (te2 > ts && (te2[-1] == ' ' || te2[-1] == '\t' ||
                               te2[-1] == '\n' || te2[-1] == '\r')) --te2;
           int64_t tlen = te2 - ts;
-          if (tlen > 0 && tlen < 63) {
+          bool hexish = false;  // strtod accepts 0x1A; Python float() doesn't
+          if (tlen > 1) {
+            const char* h = ts + ((*ts == '+' || *ts == '-') ? 1 : 0);
+            hexish = (h + 1 < te2 && h[0] == '0' && (h[1] == 'x' || h[1] == 'X'));
+          }
+          if (!hexish && tlen > 0 && tlen < 63) {
             memcpy(buf, ts, tlen);
             buf[tlen] = '\0';
             char* endp = nullptr;
@@ -1848,7 +1855,10 @@ inline int scan(const char* xml, int64_t len, Sink& k) {
       } else {
         continue;  // no value -> empty cell
       }
-      if (ctype == 'i' && !k.arena) k.str_bytes += text_total;
+      // count <is> text for ANY cell type: pass 2 unescapes it into the
+      // arena before classification, so an <is> inside a t="n" cell must
+      // still reserve space (heap overflow otherwise)
+      if (!k.arena) k.str_bytes += text_total;
       if (col > k.max_col) k.max_col = col;
       if (k.cell_row) {
         k.cell_row[k.n_cells] = row;

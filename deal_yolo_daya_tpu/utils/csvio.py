@@ -108,6 +108,8 @@ def _col_spec(values: pd.Series):
             return None
         return {"kind": XLSX_I64, "i64": vals, "valid": valid}, []
     if pa.types.is_floating(t) and exact(float):
+        if t != pa.float64():  # Float32/f16 extension dtypes print fewer
+            return None       # repr digits than the widened float64 would
         vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
         return {"kind": XLSX_F64, "f64": vals}, []
     if pa.types.is_boolean(t) and exact(bool):
@@ -175,13 +177,15 @@ _PANDAS_NA = [
 
 
 def _read_fast(path, encoding: str, heavy) -> Optional[pd.DataFrame]:
-    """Hybrid CSV read. One pyarrow.csv pass parses the whole file with the
-    heavy string columns (the ~700 B JSON label cells that dominate read
-    time) forced to large_string. If every LIGHT column comes out numeric —
-    where pyarrow and the pandas C parser agree exactly — the frame builds
-    from that single pass; any light column with a non-numeric type falls
-    back to a pandas read of just those columns (pandas' own inference then
-    decides downstream to_csv bytes). None = caller should use plain pandas.
+    """Hybrid CSV read. One pyarrow.csv pass parses the whole file with its
+    own inference. Columns whose values come out integer (or all-NA) convert
+    pandas-BIT-equally from that pass; DECLARED heavy columns (the ~700 B
+    JSON label cells that dominate read time, contractually string-valued)
+    are additionally trusted when pyarrow infers string — numeric-looking
+    heavy columns (e.g. a source column of IDs, where pandas would type and
+    reformat them) fall back to the pandas read like every other divergence
+    candidate, so downstream to_csv bytes never change. None = caller should
+    use plain pandas.
     """
     import pyarrow as pa
     import pyarrow.csv as pacsv
@@ -194,9 +198,7 @@ def _read_fast(path, encoding: str, heavy) -> Optional[pd.DataFrame]:
     heavy_present = [c for c in cols if c in heavy_set]
     if not heavy_present:
         return None
-    light = [c for c in cols if c not in heavy_set]
     convert = pacsv.ConvertOptions(
-        column_types={c: pa.large_string() for c in heavy_present},
         null_values=_PANDAS_NA,
         strings_can_be_null=True,
     )
@@ -214,17 +216,21 @@ def _read_fast(path, encoding: str, heavy) -> Optional[pd.DataFrame]:
         # newlines_in_values=True forces a serial parser (6x slower); the
         # fast mode handles in-block quoted newlines but misparses values
         # spanning read blocks — the line-count check below catches any
-        # such file and retries in the fully-general mode
-        f.seek(start)
-        try:
-            table = pacsv.read_csv(
-                f,
-                read_options=pacsv.ReadOptions(use_threads=True),
-                parse_options=pacsv.ParseOptions(newlines_in_values=False),
-                convert_options=convert,
-            )
-        except Exception:
-            table = None
+        # such file and retries in the fully-general mode. Single-column
+        # files skip the fast mode outright: a block-spanning split there
+        # can slip past BOTH the field-count error and the line count.
+        table = None
+        if len(cols) > 1:
+            f.seek(start)
+            try:
+                table = pacsv.read_csv(
+                    f,
+                    read_options=pacsv.ReadOptions(use_threads=True),
+                    parse_options=pacsv.ParseOptions(newlines_in_values=False),
+                    convert_options=convert,
+                )
+            except Exception:
+                table = None
         if table is None or nl not in (len(table) + 1, len(table)):
             f.seek(start)
             table = pacsv.read_csv(
@@ -257,14 +263,18 @@ def _read_fast(path, encoding: str, heavy) -> Optional[pd.DataFrame]:
     out = {}
     pandas_cols = []
     for c in cols:
-        if c in heavy_set:
-            out[c] = pd.Series(table[c].to_pandas(types_mapper=pd.ArrowDtype))
+        s = light_series(c)
+        if s is None and c in heavy_set:
+            t = table[c].type
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                s = pd.Series(
+                    table[c].cast(pa.large_string())
+                    .to_pandas(types_mapper=pd.ArrowDtype)
+                )
+        if s is None:
+            pandas_cols.append(c)
         else:
-            s = light_series(c)
-            if s is None:
-                pandas_cols.append(c)
-            else:
-                out[c] = s
+            out[c] = s
     if pandas_cols:  # non-numeric light columns: pandas types them exactly
         df_light = pd.read_csv(path, encoding=encoding, usecols=pandas_cols)
         if len(df_light) != len(table):

@@ -193,7 +193,10 @@ def _native_col_spec(values, letter: str, row_strs: List[str]):
         if dt == bool:
             return {"kind": XLSX_BOOL, "i64": values.to_numpy().astype(np.int64)}, []
         if isinstance(dt, np.dtype) and dt.kind in "iu":
-            return {"kind": XLSX_I64, "i64": values.to_numpy(np.int64)}, []
+            v = values.to_numpy()
+            if dt.kind == "u" and v.size and v.max() > np.iinfo(np.int64).max:
+                return raw_spec(values.to_numpy(dtype=object))  # would wrap
+            return {"kind": XLSX_I64, "i64": v.astype(np.int64)}, []
         if isinstance(dt, np.dtype) and dt.kind == "f":
             return {"kind": XLSX_F64, "f64": values.to_numpy(np.float64)}, []
         # a typed (non-object) pandas dtype guarantees cell types; object
@@ -257,6 +260,8 @@ def _native_col_spec(values, letter: str, row_strs: List[str]):
         vals = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
         return {"kind": XLSX_I64, "i64": vals, "valid": valid}, []
     if pa.types.is_floating(t) and exact(float):
+        if t != pa.float64():  # Float32/f16 extension dtypes print fewer
+            return fallback()  # repr digits than the widened float64 would
         vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
         return {"kind": XLSX_F64, "f64": vals}, []
     if pa.types.is_boolean(t) and exact(bool):
@@ -412,10 +417,19 @@ def _arrow_text_column(r_out, sp, arena, n_rows):
 
     lens = (sp[:, 1] - sp[:, 0]).astype(np.int64)
     total = int(lens.sum())
-    excl = np.zeros(len(lens), np.int64)
-    np.cumsum(lens[:-1], out=excl[1:])
-    within = np.arange(total, dtype=np.int64) - np.repeat(excl, lens)
-    data = arena[np.repeat(sp[:, 0], lens) + within]
+    # gather in bounded chunks: the index arrays cost ~25 transient bytes
+    # per payload byte, which at GB-scale columns would dwarf the payload
+    parts = []
+    CHUNK = 200_000
+    for lo in range(0, len(sp), CHUNK):
+        sl = slice(lo, lo + CHUNK)
+        cl = lens[sl]
+        ct = int(cl.sum())
+        excl = np.zeros(len(cl), np.int64)
+        np.cumsum(cl[:-1], out=excl[1:])
+        within = np.arange(ct, dtype=np.int64) - np.repeat(excl, cl)
+        parts.append(arena[np.repeat(sp[sl, 0], cl) + within])
+    data = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
     row_lens = np.zeros(n_rows, np.int64)
     row_lens[r_out] = lens
     offsets = np.zeros(n_rows + 1, np.int64)

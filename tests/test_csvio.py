@@ -144,3 +144,27 @@ def test_fast_reader_fallbacks(tmp_path):
     p2.write_text("a,a\n1,2\n", encoding="utf-8")
     df2 = read_csv(p2, encoding="utf-8", heavy=("a",))
     assert list(df2.columns) == ["a", "a.1"]
+
+
+def test_write_float32_extension_dtype_parity(tmp_path):
+    _assert_parity(
+        pd.DataFrame({"a": pd.array([0.1, None, 2.5], dtype="Float32")}),
+        tmp_path,
+    )
+
+
+def test_fast_reader_numeric_looking_heavy_column(tmp_path):
+    """A declared-heavy column holding numeric text must round-trip exactly
+    like pandas (typed + reformatted), not stay verbatim strings."""
+    from deal_yolo_daya_tpu.utils.csvio import read_csv, write_csv
+
+    p = tmp_path / "n.csv"
+    p.write_text("source,label\n1.50,a\n007,b\n", encoding="utf-8")
+    got = read_csv(p, encoding="utf-8", heavy=("source", "label"))
+    ref = pd.read_csv(p, encoding="utf-8")
+    assert got["source"].dtype == ref["source"].dtype
+    assert got["source"].tolist() == ref["source"].tolist()
+    out_a, out_b = tmp_path / "a.csv", tmp_path / "b.csv"
+    write_csv(got, out_a, encoding="utf-8")
+    ref.to_csv(out_b, index=False, encoding="utf-8")
+    assert out_a.read_bytes() == out_b.read_bytes()

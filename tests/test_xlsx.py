@@ -204,3 +204,54 @@ def test_xlsx_roundtrip_fuzz(tmp_path):
                     assert pd.isna(got), (c, got, want)
                 else:
                     assert got == want, (c, got, want)
+
+
+def test_reader_is_text_inside_numeric_cell_no_overflow():
+    """<is> runs inside a t="n" cell must not overflow the arena (the pass-1
+    count used to skip them) and the <v> value must win, like ElementTree."""
+    from deal_yolo_daya_tpu.runtime import sheet_parse_native
+
+    big = "A" * 4096
+    xml = (
+        '<?xml version="1.0"?><worksheet><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+        f'<row r="2"><c r="A2"><is><t>{big}</t></is><v>7</v></c></row>'
+        "</sheetData></worksheet>"
+    ).encode()
+    parsed = sheet_parse_native(xml)
+    if parsed is None:
+        pytest.skip("native lib unavailable")
+    df = xlsx._df_from_native(parsed, [])
+    assert df.iloc[0, 0] == 7
+
+
+def test_writer_uint64_beyond_int64(tmp_path):
+    """uint64 values above int64 max must keep their exact digits in the
+    sheet XML (the int64 fast path would wrap to a negative number); the
+    reader's float round-trip precision loss is the same as ElementTree's."""
+    import zipfile
+
+    df = pd.DataFrame({"u": np.array([2 ** 63 + 5, 1], dtype=np.uint64)})
+    path = tmp_path / "u.xlsx"
+    xlsx.write_workbook(path, {"s": df})
+    sheet = zipfile.ZipFile(path).read("xl/worksheets/sheet1.xml")
+    assert str(2 ** 63 + 5).encode() in sheet
+    assert b"-922337" not in sheet
+
+
+def test_reader_hex_value_stays_text():
+    """Python float('0x1A') raises, so the value must stay text — strtod
+    would happily parse it to 26."""
+    from deal_yolo_daya_tpu.runtime import sheet_parse_native
+
+    xml = (
+        '<?xml version="1.0"?><worksheet><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>0x1A</v></c></row>'
+        "</sheetData></worksheet>"
+    ).encode()
+    parsed = sheet_parse_native(xml)
+    if parsed is None:
+        pytest.skip("native lib unavailable")
+    df = xlsx._df_from_native(parsed, [])
+    assert df.iloc[0, 0] == "0x1A"
