@@ -20,14 +20,9 @@ from typing import Optional, Sequence, Union
 import numpy as np
 import pandas as pd
 
+from .colspec import arrow_col_spec
+
 _QUOTE_TRIGGERS = (",", '"', "\n", "\r")
-_EMPTY_BLOB = b"\x00"
-
-
-def _addr_of(b: bytes) -> int:
-    import ctypes
-
-    return ctypes.cast(b, ctypes.c_void_p).value or 0
 
 
 def _quote(field: str) -> str:
@@ -39,9 +34,7 @@ def _quote(field: str) -> str:
 def _col_spec(values: pd.Series):
     """(spec, keepalive) for one column, or None when pandas must format it
     (float32, datetimes, mixed object cells, huge uints, ...)."""
-    import pyarrow as pa
-
-    from ..runtime import XLSX_BOOL, XLSX_F64, XLSX_I64, XLSX_STR
+    from ..runtime import XLSX_BOOL, XLSX_F64, XLSX_I64
 
     dt = values.dtype
     if isinstance(dt, np.dtype):
@@ -61,85 +54,7 @@ def _col_spec(values: pd.Series):
 
     trusted = not (isinstance(dt, np.dtype) and dt == object)
     obj = None if trusted else values.to_numpy(dtype=object)
-    try:
-        arr = pa.array(obj if obj is not None else values, from_pandas=True)
-    except Exception:
-        return None
-
-    def exact(py_type) -> bool:
-        if trusted:
-            return True
-        for v in obj:
-            if type(v) is py_type or v is None or v is pd.NA:
-                continue
-            if type(v) is float and v != v:  # NaN null
-                continue
-            return False
-        return True
-
-    def valid_mask():
-        if not arr.null_count:
-            return None
-        return arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
-
-    t = arr.type
-    if pa.types.is_null(t):
-        return {"kind": XLSX_F64, "f64": np.full(len(arr), np.nan)}, []
-    if (pa.types.is_string(t) or pa.types.is_large_string(t)) and exact(str):
-        arr = arr.cast(pa.large_string())
-        if arr.offset:
-            return None
-        bufs = arr.buffers()  # [validity, offsets(int64 x n+1), data]
-        blob = bufs[2]
-        return (
-            {
-                "kind": XLSX_STR,
-                "blob": blob.address if blob is not None else _addr_of(_EMPTY_BLOB),
-                "off": bufs[1].address,
-                "valid": valid_mask(),
-            },
-            [arr, bufs],
-        )
-    if pa.types.is_integer(t) and exact(int):
-        valid = valid_mask()
-        try:
-            vals = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
-        except Exception:
-            return None
-        return {"kind": XLSX_I64, "i64": vals, "valid": valid}, []
-    if pa.types.is_floating(t) and exact(float):
-        if t != pa.float64():  # Float32/f16 extension dtypes print fewer
-            return None       # repr digits than the widened float64 would
-        vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
-        return {"kind": XLSX_F64, "f64": vals}, []
-    if pa.types.is_boolean(t) and exact(bool):
-        valid = valid_mask()
-        vals = arr.fill_null(False).to_numpy(zero_copy_only=False).astype(np.int64)
-        return {"kind": XLSX_BOOL, "i64": vals, "valid": valid}, []
-    if not trusted and (pa.types.is_floating(t) or pa.types.is_integer(t)):
-        # mixed int/float object column (e.g. step-4 width/height): a 3-state
-        # per-cell tag keeps int-ness (pandas writes 640, not 640.0)
-        from ..runtime import CSV_NUMOBJ
-
-        n = len(obj)
-        tag = np.zeros(n, np.uint8)
-        i64 = np.zeros(n, np.int64)
-        f64 = np.zeros(n, np.float64)
-        for k, v in enumerate(obj):
-            tv = type(v)
-            if tv is int:
-                if not (-(2 ** 63) <= v < 2 ** 63):
-                    return None
-                tag[k] = 1
-                i64[k] = v
-            elif tv is float:
-                if v == v:  # NaN stays tag 0 (empty)
-                    tag[k] = 2
-                    f64[k] = v
-            elif v is not None:
-                return None
-        return {"kind": CSV_NUMOBJ, "i64": i64, "f64": f64, "valid": tag}, []
-    return None
+    return arrow_col_spec(values, obj=obj, trusted=trusted, allow_numobj=True)
 
 
 def _write_native(df: pd.DataFrame, path: Path, encoding: str) -> bool:

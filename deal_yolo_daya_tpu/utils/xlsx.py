@@ -151,27 +151,18 @@ def _sheet_xml(df: pd.DataFrame, header: bool = True, index: bool = False) -> st
     )
 
 
-_EMPTY_BLOB = b"\x00"  # stand-in data pointer for all-empty string columns
-
-
-def _addr_of(b: bytes) -> int:
-    import ctypes
-
-    return ctypes.cast(b, ctypes.c_void_p).value or 0
-
-
 def _native_col_spec(values, letter: str, row_strs: List[str]):
     """Classify one output column for the native sheet writer.
 
     Returns (spec_dict, keepalive_list). Exact-parity rules with the Python
-    cell formatter decide the kind; anything exotic (mixed types, numpy
-    scalars in object cells, timestamps) renders per-cell in Python and ships
-    as a pre-rendered RAW column.
+    cell formatter decide the kind (shared classifier: utils/colspec.py);
+    anything exotic (mixed types, numpy scalars in object cells, timestamps)
+    renders per-cell in Python and ships as a pre-rendered RAW column.
     """
     import numpy as np
-    import pyarrow as pa
 
-    from ..runtime import XLSX_BOOL, XLSX_F64, XLSX_I64, XLSX_RAW, XLSX_STR
+    from ..runtime import XLSX_BOOL, XLSX_F64, XLSX_I64, XLSX_RAW
+    from .colspec import _EMPTY_BLOB, _addr_of, arrow_col_spec
 
     def raw_spec(cells):
         enc = [
@@ -189,7 +180,9 @@ def _native_col_spec(values, letter: str, row_strs: List[str]):
     obj = None  # object ndarray view, materialized only when needed
     if isinstance(values, pd.Series):
         dt = values.dtype
-        # plain-numpy fast paths (no nulls possible / NaN self-describes)
+        # plain-numpy fast paths (no nulls possible / NaN self-describes).
+        # NOTE: these deliberately differ from csvio's — the xlsx cell
+        # formatter widens float32 to Python-float repr; to_csv does not.
         if dt == bool:
             return {"kind": XLSX_BOOL, "i64": values.to_numpy().astype(np.int64)}, []
         if isinstance(dt, np.dtype) and dt.kind in "iu":
@@ -204,71 +197,15 @@ def _native_col_spec(values, letter: str, row_strs: List[str]):
         trusted = not (isinstance(dt, np.dtype) and dt == object)
         if not trusted:
             obj = values.to_numpy(dtype=object)
-        try:
-            arr = pa.array(obj if obj is not None else values, from_pandas=True)
-        except Exception:
-            return raw_spec(values.to_numpy(dtype=object))
     else:  # plain object ndarray
         obj = values
         trusted = False
-        try:
-            arr = pa.array(obj, from_pandas=True)
-        except Exception:
-            return raw_spec(obj)
 
-    def exact(py_type) -> bool:
-        if trusted:
-            return True
-        for v in obj:
-            if type(v) is py_type or v is None or v is pd.NA:
-                continue
-            if type(v) is float and v != v:  # NaN null
-                continue
-            return False
-        return True
-
-    def fallback():
-        return raw_spec(obj if obj is not None else values.to_numpy(dtype=object))
-
-    def valid_mask():
-        if not arr.null_count:
-            return None
-        return arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
-
-    t = arr.type
-    if pa.types.is_null(t):  # all-None column: every cell empty
-        return {"kind": XLSX_F64, "f64": np.full(len(arr), np.nan)}, []
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        if not exact(str):
-            return fallback()
-        arr = arr.cast(pa.large_string())
-        if arr.offset:  # unexpected for a fresh array; stay exact
-            return fallback()
-        bufs = arr.buffers()  # [validity, offsets(int64 x n+1), data]
-        blob = bufs[2]
-        return (
-            {
-                "kind": XLSX_STR,
-                "blob": blob.address if blob is not None else _addr_of(_EMPTY_BLOB),
-                "off": bufs[1].address,
-                "valid": valid_mask(),
-            },
-            [arr, bufs],
-        )
-    if pa.types.is_integer(t) and exact(int):
-        valid = valid_mask()
-        vals = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
-        return {"kind": XLSX_I64, "i64": vals, "valid": valid}, []
-    if pa.types.is_floating(t) and exact(float):
-        if t != pa.float64():  # Float32/f16 extension dtypes print fewer
-            return fallback()  # repr digits than the widened float64 would
-        vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
-        return {"kind": XLSX_F64, "f64": vals}, []
-    if pa.types.is_boolean(t) and exact(bool):
-        valid = valid_mask()
-        vals = arr.fill_null(False).to_numpy(zero_copy_only=False).astype(np.int64)
-        return {"kind": XLSX_BOOL, "i64": vals, "valid": valid}, []
-    return fallback()
+    r = arrow_col_spec(values if isinstance(values, pd.Series) else None,
+                       obj=obj, trusted=trusted)
+    if r is not None:
+        return r
+    return raw_spec(obj if obj is not None else values.to_numpy(dtype=object))
 
 
 def _sheet_part(df: pd.DataFrame, header: bool = True, index: bool = False) -> bytes:
