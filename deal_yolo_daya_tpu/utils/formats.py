@@ -1,4 +1,10 @@
-"""Display formatting helpers (reference: core/utils.py:16-141)."""
+"""Display formatting helpers.
+
+Output contract with the reference (core/utils.py:113-141): "-" for
+missing values, "%.2f <unit>" bytes, HH:MM:SS / MM:SS durations,
+thousands-separated ints, "%.1f%%" ratios — the strings feed the stat
+cards, so the formats are pinned; the code is not.
+"""
 
 from __future__ import annotations
 
@@ -7,32 +13,32 @@ import math
 
 import pandas as pd
 
+_BYTE_UNITS = ("B", "KB", "MB", "GB")  # beyond GB everything prints as TB
+
 
 def format_bytes(value) -> str:
     if value is None:
         return "-"
-    units = ["B", "KB", "MB", "GB", "TB"]
     size = float(value)
-    idx = 0
-    while size >= 1024 and idx < len(units) - 1:
+    for unit in _BYTE_UNITS:
+        if not size >= 1024:  # NaN compares false -> "nan B", as before
+            return f"{size:.2f} {unit}"
         size /= 1024
-        idx += 1
-    return f"{size:.2f} {units[idx]}"
+    return f"{size:.2f} TB"
 
 
 def format_duration(seconds) -> str:
     if seconds is None or seconds < 0:
         return "-"
-    seconds = int(seconds)
-    hours, rem = divmod(seconds, 3600)
-    minutes, secs = divmod(rem, 60)
-    if hours > 0:
-        return f"{hours:02d}:{minutes:02d}:{secs:02d}"
-    return f"{minutes:02d}:{secs:02d}"
+    total = int(seconds)
+    fields = [total // 3600, total // 60 % 60, total % 60]
+    if not fields[0]:  # hours only when nonzero
+        del fields[0]
+    return ":".join(f"{f:02d}" for f in fields)
 
 
 def format_int(value) -> str:
-    return "-" if value is None else f"{value:,}"
+    return "-" if value is None else format(value, ",")
 
 
 def format_ratio(numerator, denominator) -> str:
