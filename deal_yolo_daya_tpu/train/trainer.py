@@ -116,6 +116,21 @@ class TrainConfig:
     # capture a jax.profiler trace of the first N steps of epoch 0 into
     # <run_dir>/profile (open with TensorBoard / xprof); 0 = off
     profile_steps: int = 0
+    # fold the input /255 into the stem conv kernel: the step feeds raw
+    # 0..255 images and scales the (3,3,3,C) kernel at trace time instead of
+    # dividing the full image tensor (conv is linear, so outputs AND
+    # gradients match the divided-input program exactly — equivalence pinned
+    # by tests). Trace attack item 3 (PERF.md round 3, ~0.6 ms input-div
+    # copy); default off until measured on TPU.
+    fold_input_div: bool = False
+    # HBM-cache path only: lax.scan K (gather -> augment -> train) steps
+    # into ONE device program, cutting per-step dispatch round-trips (the
+    # @640 wall/step gap is ~12 ms x 63 tunnel calls/epoch, PERF.md round 3)
+    # to ~steps/K. None = auto (8 on a single device with the device cache);
+    # 1 disables. Remainder steps run the single-step program. The scan body
+    # compiles once, so compile time does not scale with K (rule 3 applies
+    # to unrolled fori_loop trip counts, not scan).
+    steps_per_dispatch: Optional[int] = None
     # True reproduces ultralytics' `loss * batch_size` total-loss scale
     # (v8DetectionLoss) for 1:1 hyperparameter transfer; default keeps the
     # batch-invariant normalization (docs/PARITY.md "Loss scale semantics")
@@ -136,6 +151,19 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema_params: Any
     step: jnp.ndarray
+
+
+def scale_stem_kernel(params, scale: float):
+    """Multiply the stem conv kernel by ``scale`` (functional — gradients
+    flow through the scaling, so training on raw images with a scaled kernel
+    is mathematically identical to training on ``images * scale``: the conv
+    is linear and BN follows it)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    key = ("b0", "conv", "kernel")
+    flat[key] = flat[key] * scale
+    return traverse_util.unflatten_dict(flat)
 
 
 def parse_scale(model: str) -> str:
@@ -413,6 +441,35 @@ class Trainer:
                 lambda ci, chw, cb, cc, cm, idx:
                     (ci[idx], chw[idx], cb[idx], cc[idx], cm[idx])
             )
+
+            # epoch-chunked step: K iterations of gather+augment+train under
+            # one lax.scan — one dispatch and one (K, B) index upload instead
+            # of 3K tunnel calls. Same seed stream and ops as the single-step
+            # path (equivalence pinned by tests/test_trainer_paths.py).
+            def train_chunk(
+                state, loss_acc, ci, chw, cb, cc, cm, idx_mat, seeds,
+                mosaic_off=False,
+            ):
+                def body(carry, xs):
+                    st, acc = carry
+                    idx, seed = xs
+                    aug = device_augment_step(
+                        ci[idx], chw[idx], cb[idx], cc[idx], cm[idx],
+                        seed, mosaic_off,
+                    )
+                    st, total, acc = train_step(st, acc, *aug)
+                    return (st, acc), total
+
+                (state, loss_acc), totals = jax.lax.scan(
+                    body, (state, loss_acc), (idx_mat, seeds)
+                )
+                return state, totals[-1], loss_acc
+
+            self.train_chunk = jax.jit(
+                train_chunk,
+                static_argnums=(9,),
+                donate_argnums=(0, 1) if self.cfg.donate else (),
+            )
         else:
             # sharded cache: every device gathers its sub-batch from its OWN
             # row shard with LOCAL indices — no collectives (distributed-
@@ -464,6 +521,15 @@ class Trainer:
             "in_shardings": (None, None, data_sh, data_sh, data_sh, data_sh, data_sh)
         }
         self.eval_step = jax.jit(eval_step, **eval_kwargs)
+
+    def steps_per_dispatch(self) -> int:
+        """Resolved chunk size K: config value, or the auto default (8) on a
+        single device (the chunked program exists only there — the sharded
+        path gathers under shard_map and keeps per-step dispatch)."""
+        k = self.cfg.steps_per_dispatch
+        if k is None:
+            return 8 if self.single_device else 1
+        return max(1, int(k))
 
     # ------------------------------------------------------------------ cache
 
@@ -828,6 +894,31 @@ class Trainer:
                 if self.single_device:
                     idx_stream = self.train_loader.epoch_indices(epoch)
                     put_idx = lambda idxs: jnp.asarray(idxs, jnp.int32)
+                    # chunked dispatch: scan K steps per device call; the
+                    # remainder falls through to the single-step loop below.
+                    # Profiling epochs stay single-step (per-step trace).
+                    k = self.steps_per_dispatch()
+                    if k > 1 and not (
+                        cfg.profile_steps and epoch == self.start_epoch
+                    ):
+                        all_idx = list(idx_stream)
+                        n_chunks = len(all_idx) // k
+                        seed_base = (cfg.seed << 20) + epoch * 16384
+                        for c in range(n_chunks):
+                            idx_mat = jnp.asarray(
+                                np.stack(all_idx[c * k:(c + 1) * k]), jnp.int32
+                            )
+                            seeds = jnp.asarray(
+                                np.array([seed_base + c * k + j for j in range(k)],
+                                         np.uint32)
+                            )
+                            self.state, total, loss_acc = self.train_chunk(
+                                self.state, loss_acc, *cache, idx_mat, seeds,
+                                self.train_loader.mosaic_off,
+                            )
+                            n_steps += k
+                            self._step_host += k
+                        idx_stream = iter(all_idx[n_chunks * k:])
                 else:
                     from jax.sharding import NamedSharding, PartitionSpec
 

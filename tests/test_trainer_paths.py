@@ -59,6 +59,69 @@ def test_device_cache_training_matches_streaming(tmp_path):
     np.testing.assert_allclose(cached, streamed, rtol=1e-4, atol=1e-5)
 
 
+def test_chunked_dispatch_matches_single_step(tmp_path):
+    """steps_per_dispatch>1 (lax.scan K gather+augment+train iterations per
+    device call) must reproduce the single-step path: same index stream, same
+    per-step seeds, equivalent math. Compared at the step level — one K=2
+    chunk vs the same 2 steps dispatched singly from the same state. (The
+    scanned program fuses differently, so exactness is ~1e-6, which chaotic
+    amplification through TAL's discrete assignment would inflate over a
+    full multi-epoch run.) A 5-step epoch at K=2 then exercises the 2-chunk
+    + 1-single remainder fall-through end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    data_yaml = make_dataset(tmp_path, n_train=20, n_val=4, imgsz=64, nc=2)
+    from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model="yolo11n", data=str(data_yaml), epochs=1, imgsz=64, batch=4,
+        amp=False, close_mosaic=0, project=str(tmp_path / "runs"),
+        name="chunk", seed=0, max_boxes=16, warmup_epochs=0.5, workers=2,
+        device_augment=True, val=False, cache="device", device="1",
+        steps_per_dispatch=2,
+    )
+    t = Trainer(cfg)
+    assert t.steps_per_dispatch() == 2
+    cache = t._ensure_device_cache()
+    assert cache is not None
+    all_idx = list(t.train_loader.epoch_indices(0))[:2]
+    state0, acc0 = t.state, t.zero_loss_acc()
+
+    st, acc = state0, t.zero_loss_acc()
+    for j, idxs in enumerate(all_idx):
+        aug = t.device_augment_step(
+            *t.gather_batch(*cache, jnp.asarray(idxs, jnp.int32)),
+            np.uint32(j), False,
+        )
+        st, _, acc = t.train_step(st, acc, *aug)
+
+    idx_mat = jnp.asarray(np.stack(all_idx), jnp.int32)
+    seeds = jnp.asarray(np.arange(2, dtype=np.uint32))
+    st2, _, acc2 = t.train_chunk(state0, acc0, *cache, idx_mat, seeds, False)
+
+    for k in acc:
+        np.testing.assert_allclose(
+            float(acc2[k]), float(acc[k]), rtol=1e-4, atol=1e-5, err_msg=k
+        )
+    max_diff = max(
+        jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(
+                a.astype(jnp.float32) - b.astype(jnp.float32)))),
+            st.params, st2.params,
+        ))
+    )
+    assert max_diff < 1e-4, max_diff
+
+    # end-to-end: 5 steps/epoch at K=2 -> 2 chunks + 1 single-step remainder
+    result = t.train()
+    df = pd.read_csv(Path(result["save_dir"]) / "results.csv")
+    assert np.isfinite(
+        df[["train/box_loss", "train/cls_loss", "train/dfl_loss"]].values
+    ).all()
+    assert float(df["train/cls_loss"][0]) > 0
+
+
 def test_device_cache_sharded_multi_device(tmp_path):
     """cache='device' on a DP mesh: rows sharded over `data`, per-device
     local sampling + shard_map gather. Gathered rows must be exactly the
