@@ -24,6 +24,20 @@ def autopad(k: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
     return ((p, p), (p, p))
 
 
+# BN statistics reduction dtype: True = float32 (flax default, stable),
+# False = the compute dtype (bf16). A/B hook for the train-step trace's
+# 2.5 ms BN-stat reduction bucket (PERF.md round 3 attack item 2) — flip
+# before model build/trace; tools/bench_train.py --bn-bf16-stats measures it.
+BN_F32_STATS = True
+
+# Force the space-to-depth lowering for ALL eligible stride-2 3x3 convs
+# (same kernel parameter, same function — see _SPDConv2). A/B hook for the
+# small-channel-stem retest under the round-3 layout mix (attack item 4);
+# round 2 measured it a wash on the plain forward. Flip before trace;
+# tools/bench_train.py --spd measures it.
+SPD_STRIDE2 = False
+
+
 class _SPDConv2(nn.Module):
     """Stride-2 3x3 conv lowered to space-to-depth + 2x2 conv — EXACTLY the
     same function and the same (3, 3, C, O) kernel parameter as the direct
@@ -88,7 +102,7 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if (
-            self.spd and self.kernel == 3 and self.stride == 2
+            (self.spd or SPD_STRIDE2) and self.kernel == 3 and self.stride == 2
             and self.groups == 1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         ):
             x = _SPDConv2(self.features, dtype=self.dtype, name="conv")(x)
@@ -110,6 +124,7 @@ class ConvBN(nn.Module):
             epsilon=1e-3,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            force_float32_reductions=BN_F32_STATS,
             name="bn",
         )(x)
         if self.act:

@@ -337,12 +337,17 @@ class Trainer:
         # the axon backend); multi-device: mesh-annotated shardings
         data_sh = None if self.single_device else batch_sharding(self.mesh)
 
+        fold_div = bool(self.cfg.fold_input_div)
+
         def train_step(state: TrainState, loss_acc, images, gt_boxes, gt_classes, gt_mask):
-            x = images.astype(self.dtype) / 255.0
+            x = images.astype(self.dtype)
+            if not fold_div:
+                x = x / 255.0
 
             def loss_fn(params):
+                p = scale_stem_kernel(params, 1.0 / 255.0) if fold_div else params
                 (box, cls), mutated = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
+                    {"params": p, "batch_stats": state.batch_stats},
                     x, train=True, mutable=["batch_stats"],
                 )
                 total, parts = detection_loss(
@@ -491,12 +496,18 @@ class Trainer:
         eval_apply = self._eval_apply
 
         def eval_step(params, batch_stats, images, gt_boxes, gt_classes, gt_mask, inv):
-            x = images.astype(self.dtype) / 255.0
             if eval_apply is not None:  # e.g. the int8 serving path
-                box, cls = eval_apply(x)
+                box, cls = eval_apply(images.astype(self.dtype) / 255.0)
+            elif fold_div:
+                box, cls = model.apply(
+                    {"params": scale_stem_kernel(params, 1.0 / 255.0),
+                     "batch_stats": batch_stats},
+                    images.astype(self.dtype), train=False,
+                )
             else:
                 box, cls = model.apply(
-                    {"params": params, "batch_stats": batch_stats}, x, train=False
+                    {"params": params, "batch_stats": batch_stats},
+                    images.astype(self.dtype) / 255.0, train=False,
                 )
             _, parts = detection_loss(
                 box, cls, gt_classes, gt_boxes, gt_mask, (imgsz, imgsz), loss_cfg

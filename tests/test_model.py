@@ -94,3 +94,23 @@ def test_spd_lowering_equivalence():
         np.testing.assert_allclose(
             np.asarray(y_spd), np.asarray(y_ref), atol=1e-5
         )
+
+
+def test_fold_input_div_equivalence():
+    """Scaling the stem conv kernel by 1/255 and feeding raw 0..255 images
+    must equal dividing the input (conv is linear; the trainer's
+    fold_input_div knob rests on this)."""
+    from deal_yolo_daya_tpu.train.trainer import scale_stem_kernel
+
+    model, variables = build_yolo11("n", nc=4, imgsz=64)
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), np.uint8), jnp.float32)
+
+    box_a, cls_a = model.apply(variables, raw / 255.0, train=False)
+    folded = {
+        "params": scale_stem_kernel(variables["params"], 1.0 / 255.0),
+        "batch_stats": variables["batch_stats"],
+    }
+    box_b, cls_b = model.apply(folded, raw, train=False)
+    for a, b in zip(list(box_a) + list(cls_a), list(box_b) + list(cls_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)

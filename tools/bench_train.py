@@ -37,11 +37,29 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--gt", type=int, default=8, help="padded GT boxes per image")
     ap.add_argument("--only", default="", help="comma list of variants to run")
+    # round-3 trace attack-item A/B flags (PERF.md)
+    ap.add_argument("--bn-bf16-stats", action="store_true",
+                    help="BN stat reductions in bf16 instead of f32 (item 2)")
+    ap.add_argument("--fold-div", action="store_true",
+                    help="fold the /255 into the stem conv kernel (item 3)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the full_step state buffers (item: copy-done "
+                         "bucket; WATCH the printed compile time — rule 2)")
+    ap.add_argument("--spd", action="store_true",
+                    help="space-to-depth lowering for all stride-2 3x3 convs "
+                         "(item 4 retest)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import optax
+
+    from deal_yolo_daya_tpu.models import blocks
+
+    if args.bn_bf16_stats:
+        blocks.BN_F32_STATS = False
+    if args.spd:
+        blocks.SPD_STRIDE2 = True
 
     from deal_yolo_daya_tpu.models.yolo11 import YOLO11
     from deal_yolo_daya_tpu.train.loss import LossConfig, detection_loss
@@ -119,11 +137,19 @@ def main():
     ema = jax.tree_util.tree_map(jnp.copy, params)
     step0 = jnp.zeros((), jnp.int32)
 
+    fold_div = args.fold_div
+    if fold_div:
+        from deal_yolo_daya_tpu.train.trainer import scale_stem_kernel
+
     def full_step(params, batch_stats, opt_state, ema, step, images, gtb, gtc, gtm):
         # state chains through iterations, so the final pull orders all steps
-        x = images.astype(jnp.bfloat16) / 255.0
+        x = images.astype(jnp.bfloat16)
+        if not fold_div:
+            x = x / 255.0
 
         def loss_fn(p):
+            if fold_div:
+                p = scale_stem_kernel(p, 1.0 / 255.0)
             (box, cls), mut = model.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=True,
                 mutable=["batch_stats"],
@@ -168,13 +194,19 @@ def main():
         )
 
     if not only or "full_step" in only:
-        fn = jax.jit(full_step)
+        fn = jax.jit(
+            full_step,
+            donate_argnums=(0, 1, 2, 3, 4) if args.donate else (),
+        )
         t0 = time.time()
         st = fn(params, batch_stats, opt_state, ema, step0, images,
                 gt_boxes, gt_classes, gt_mask)
         _ = float(st[-1])
         compile_s = time.time() - t0
-        st = (params, batch_stats, opt_state, ema, step0)
+        # donated buffers are consumed by the compile call — continue from
+        # its outputs instead of the (now invalid) originals
+        st = tuple(st[:-1]) if args.donate else (
+            params, batch_stats, opt_state, ema, step0)
         t0 = time.time()
         for _ in range(args.iters):
             *st, total = fn(*st, images, gt_boxes, gt_classes, gt_mask)
