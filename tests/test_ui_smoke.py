@@ -89,3 +89,46 @@ def test_run_visualization_component(fake_st, tmp_path):
     (run / "args.yaml").write_text("epochs: 1\n", encoding="utf-8")
     render_run_visualization(run)
     assert any(c[0] == "tabs" for c in fake_st.calls)
+
+
+@pytest.mark.slow
+def test_training_page_full_launch_loop(fake_st, tmp_path):
+    """Drive '开始训练' through a REAL 1-epoch synth train (VERDICT r3 item 8):
+    thread + queue drain + progress updates + log file append + run-viz tabs
+    on the produced artifacts — the whole training.py:357-418 launch loop."""
+    from tests.test_data import make_dataset
+
+    from deal_yolo_daya_tpu import app
+    from deal_yolo_daya_tpu.ui.pages.training import render_training_platform
+
+    data_root = tmp_path / "ds"
+    data_root.mkdir()
+    make_dataset(data_root, n_train=8, n_val=4, imgsz=64, nc=2)
+    app.init_session_state()
+    fake_st.overrides.update({
+        "开始训练": True,
+        "train_dataset_root": str(data_root),
+        "train_project": str(tmp_path / "truns"),  # orbax needs absolute paths
+        "train_name": "uismoke",
+        "train_epochs": 1, "train_imgsz": 64, "train_batch": 4,
+        "train_workers": 2, "train_device": "1", "train_amp": False,
+        "train_close_mosaic": 0,
+        "train_advanced": "max_boxes=16\nwarmup_epochs=0.5",
+    })
+    render_training_platform()
+
+    calls = {c[0] for c in fake_st.calls}
+    assert "error" not in calls, [c for c in fake_st.calls if c[0] == "error"]
+    successes = [c[1][0] for c in fake_st.calls if c[0] == "success" and c[1]]
+    assert any("训练完成" in s for s in successes), successes
+    # live-log loop ran: progress bar updated and the log file accumulated
+    assert any(c[0] == "progress" and c[1] for c in fake_st.calls)
+    logs = list((tmp_path / "runs" / "train_platform" / "logs").glob("*.log"))
+    assert logs and "Epoch 1/1" in logs[0].read_text(encoding="utf-8")
+    # artifacts landed and the results section rendered the 5-tab run viz
+    save_dir = fake_st.session_state["train_last_run"]
+    from pathlib import Path
+
+    assert (Path(save_dir) / "results.csv").exists()
+    assert (Path(save_dir) / "args.yaml").exists()
+    assert any(c[0] == "tabs" for c in fake_st.calls)
