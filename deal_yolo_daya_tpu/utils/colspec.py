@@ -57,6 +57,13 @@ def arrow_col_spec(values, obj=None, trusted: bool = False,
         arr = pa.array(obj if obj is not None else values, from_pandas=True)
     except Exception:
         return None
+    if isinstance(arr, pa.ChunkedArray):
+        # Arrow-backed Series (e.g. the hybrid reader's large_string columns)
+        # come back CHUNKED; downstream wants a plain Array. Before this was
+        # handled, the `.offset` access below raised inside the callers'
+        # try/except — every Arrow-backed frame silently fell back to pandas
+        # formatting (62 s of the 1M-row s6 profile, round 4).
+        arr = arr.chunk(0) if arr.num_chunks == 1 else arr.combine_chunks()
 
     def exact(py_type) -> bool:
         if trusted:

@@ -168,3 +168,28 @@ def test_fast_reader_numeric_looking_heavy_column(tmp_path):
     write_csv(got, out_a, encoding="utf-8")
     ref.to_csv(out_b, index=False, encoding="utf-8")
     assert out_a.read_bytes() == out_b.read_bytes()
+
+
+def test_native_path_engages_for_arrow_backed_columns(tmp_path):
+    """Arrow-backed (ArrowDtype) string columns — what the hybrid fast reader
+    produces for heavy columns — must classify natively, not silently fall
+    back to pandas formatting. pa.array() on such a Series returns a
+    CHUNKED array; before round 4 the classifier raised on it inside the
+    callers' try/except, so every fast-read frame paid the 62 s/1M-row
+    pandas to_csv (found by the s6 profile)."""
+    import pyarrow as pa
+
+    from deal_yolo_daya_tpu.utils.csvio import _col_spec, write_csv
+
+    s = pd.Series(
+        pa.chunked_array([["a", "b"], ["c,d", None]], type=pa.large_string())
+        .to_pandas(types_mapper=pd.ArrowDtype)
+    )
+    spec = _col_spec(s)
+    assert spec is not None, "Arrow-backed string column fell back to pandas"
+    # and the write itself stays byte-identical to pandas
+    df = pd.DataFrame({"x": s, "y": [1, 2, 3, 4]})
+    out_a, out_b = tmp_path / "a.csv", tmp_path / "b.csv"
+    write_csv(df, out_a, encoding="utf-8")
+    df.to_csv(out_b, index=False, encoding="utf-8")
+    assert out_a.read_bytes() == out_b.read_bytes()
