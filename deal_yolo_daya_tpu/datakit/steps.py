@@ -600,12 +600,25 @@ def replace_labels_by_mapping(
 
     diff_records.sort()
     sources_np = sources.to_numpy(dtype=object)  # per-row .iloc on an Arrow
-    diff_rows = [                                # column costs a chunk walk
+    if diff_records:                             # column costs a chunk walk
+        # columnar assembly: a dict-per-row list costs pandas its
+        # list-of-dicts construction path (~8 s at 1M rows, s6 profile)
+        d_rows, d_cols, d_before, d_after = map(list, zip(*diff_records))
+        _ob = lambda a: pd.Series(a, dtype=object)
+        diff_df = pd.DataFrame({
+            "source": _ob(sources_np[d_rows]),
+            "column": _ob([present_cols[c] for c in d_cols]),
+            "before": _ob(d_before),
+            "after": _ob(d_after),
+        })
+    else:  # matches pd.DataFrame([]): zero columns, zero rows
+        diff_df = pd.DataFrame()
+    sample_diff = [
         {
             "source": sources_np[row], "column": present_cols[c],
             "before": before, "after": after,
         }
-        for row, c, before, after in diff_records
+        for row, c, before, after in diff_records[:sample_size]
     ]
 
     output_csv_path = Path(output_csv_path)
@@ -615,7 +628,7 @@ def replace_labels_by_mapping(
     diff_path = None
     if diff_excel_path:
         diff_path = Path(diff_excel_path)
-        xlsx.to_excel(pd.DataFrame(diff_rows), diff_path)
+        xlsx.to_excel(diff_df, diff_path)
 
     unmatched_path = None
     if unmatched_excel_path:
@@ -647,7 +660,7 @@ def replace_labels_by_mapping(
         "summary": summary,
         "diff": diff_path,
         "unmatched": unmatched_path,
-        "sample_diff": diff_rows[:sample_size],
+        "sample_diff": sample_diff,
     }
 
 

@@ -513,12 +513,41 @@ def _marshal_col_specs(col_specs: Sequence[dict]):
     return kinds, blob_p, off_p, valid_p, f64_p, i64_p, keep
 
 
+class NativeBuf:
+    """Owner of a C-allocated buffer: zero-copy ``view()`` + explicit
+    ``free()`` (also freed on GC). Lets big native outputs (worksheet XML
+    parts) flow into their sink without the ``ctypes.string_at`` full copy
+    — 15.6 s of the 1M-row s6 profile (round 4)."""
+
+    def __init__(self, lib, ptr, length: int):
+        self._lib, self._ptr, self._len = lib, ptr, length
+
+    def __len__(self) -> int:
+        return self._len
+
+    def view(self) -> memoryview:
+        arr = (ctypes.c_char * self._len).from_address(self._ptr.value)
+        return memoryview(arr).cast("B")
+
+    def free(self):
+        if self._ptr is not None and self._ptr.value:
+            self._lib.buf_free(self._ptr)
+        self._ptr = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:
+            pass
+
+
 def sheet_xml_native(
     nrows: int,
     col_specs: Sequence[dict],
     header: bytes,
     first_row: int,
-) -> Optional[bytes]:
+    raw: bool = False,
+):
     """Emit a whole worksheet XML part natively (labelscan.cpp::sheet_xml).
 
     Each col spec is a dict with ``kind`` (XLSX_*) plus, by kind:
@@ -527,7 +556,8 @@ def sheet_xml_native(
     - f64: ``f64`` float64 ndarray (NaN = empty cell).
     - i64/bool: ``i64`` int64 ndarray.
     Any kind may carry ``valid`` (uint8 ndarray; 0 = empty cell).
-    Returns the XML bytes, or None when the native lib is unavailable.
+    Returns the XML bytes (or, with ``raw=True``, a NativeBuf the caller
+    must free), or None when the native lib is unavailable.
     """
     lib = get_lib()
     if lib is None:
@@ -540,14 +570,16 @@ def sheet_xml_native(
         header, len(header), first_row,
         ctypes.byref(out_ptr), ctypes.byref(out_len),
     )
+    del keep
     if not out_ptr.value or out_len.value < 0:  # allocation failed
-        del keep
         return None
+    buf = NativeBuf(lib, out_ptr, out_len.value)
+    if raw:
+        return buf
     try:
-        return ctypes.string_at(out_ptr, out_len.value)
+        return bytes(buf.view())
     finally:
-        lib.buf_free(out_ptr)
-        del keep
+        buf.free()
 
 
 def csv_write_native(

@@ -208,10 +208,18 @@ def _native_col_spec(values, letter: str, row_strs: List[str]):
     return raw_spec(obj if obj is not None else values.to_numpy(dtype=object))
 
 
-def _sheet_part(df: pd.DataFrame, header: bool = True, index: bool = False) -> bytes:
-    """Worksheet XML bytes: native writer when available, Python fallback."""
+def _sheet_part(df: pd.DataFrame, header: bool = True, index: bool = False,
+                consume=None):
+    """Worksheet XML: native writer when available, Python fallback.
+
+    Without ``consume``: returns the XML bytes. With ``consume``: delivers
+    the XML to ``consume(data)`` — the native path hands over a zero-copy
+    memoryview of the C buffer (freed after the call) — and returns None.
+    Errors from ``consume`` itself propagate (never double-delivered).
+    """
     from ..runtime import sheet_xml_native
 
+    buf = None
     try:
         n = len(df)
         first_row = 2 if header else 1
@@ -236,13 +244,23 @@ def _sheet_part(df: pd.DataFrame, header: bool = True, index: bool = False) -> b
             spec, ka = _native_col_spec(s, _col_letter(ci), row_strs)
             specs.append(spec)
             keep.extend(ka)
-        out = sheet_xml_native(n, specs, header_xml, first_row)
+        buf = sheet_xml_native(n, specs, header_xml, first_row, raw=True)
         del keep
-        if out is not None:
-            return out
     except Exception:
-        pass
-    return _sheet_xml(df, header=header, index=index).encode("utf-8")
+        buf = None
+    if buf is not None:
+        try:
+            if consume is not None:
+                consume(buf.view())
+                return None
+            return bytes(buf.view())
+        finally:
+            buf.free()
+    data = _sheet_xml(df, header=header, index=index).encode("utf-8")
+    if consume is not None:
+        consume(data)
+        return None
+    return data
 
 
 def write_workbook(
@@ -295,7 +313,13 @@ def write_workbook(
         zf.writestr("xl/workbook.xml", workbook_xml)
         zf.writestr("xl/_rels/workbook.xml.rels", workbook_rels)
         for i, name in enumerate(names):
-            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_part(sheets[name], index=index))
+            # consume path: the native XML part streams into the zip as a
+            # memoryview of the C buffer — no whole-part bytes copy
+            _sheet_part(
+                sheets[name], index=index,
+                consume=lambda data, a=f"xl/worksheets/sheet{i + 1}.xml":
+                    zf.writestr(a, data),
+            )
     return path
 
 
