@@ -533,14 +533,22 @@ class Trainer:
         }
         self.eval_step = jax.jit(eval_step, **eval_kwargs)
 
-    def steps_per_dispatch(self) -> int:
-        """Resolved chunk size K: config value, or the auto default (8) on a
-        single device (the chunked program exists only there — the sharded
-        path gathers under shard_map and keeps per-step dispatch)."""
+    def steps_per_dispatch(self, n_batches: int = 0) -> int:
+        """Resolved chunk size K: config value, or auto on a single device
+        (the chunked program exists only there — the sharded path gathers
+        under shard_map and keeps per-step dispatch). Auto prefers the
+        largest K in [4, 16] dividing the epoch's batch count, so no steps
+        fall through to the single-step remainder program; 8 otherwise.
+        Trip count doesn't affect compile time (scan body compiles once)."""
         k = self.cfg.steps_per_dispatch
-        if k is None:
-            return 8 if self.single_device else 1
-        return max(1, int(k))
+        if k is not None:
+            return max(1, int(k))
+        if not self.single_device:
+            return 1
+        for cand in range(16, 3, -1):
+            if n_batches and n_batches % cand == 0:
+                return cand
+        return 8
 
     # ------------------------------------------------------------------ cache
 
@@ -908,11 +916,12 @@ class Trainer:
                     # chunked dispatch: scan K steps per device call; the
                     # remainder falls through to the single-step loop below.
                     # Profiling epochs stay single-step (per-step trace).
-                    k = self.steps_per_dispatch()
+                    all_idx = list(idx_stream)
+                    k = self.steps_per_dispatch(len(all_idx))
+                    idx_stream = iter(all_idx)
                     if k > 1 and not (
                         cfg.profile_steps and epoch == self.start_epoch
                     ):
-                        all_idx = list(idx_stream)
                         n_chunks = len(all_idx) // k
                         seed_base = (cfg.seed << 20) + epoch * 16384
                         for c in range(n_chunks):
