@@ -100,6 +100,12 @@ class YOLO11(nn.Module):
     nc: int = 80
     scale: str = "n"
     dtype: jnp.dtype = jnp.float32
+    # rematerialize the heavy blocks in the backward pass (jax.checkpoint via
+    # nn.remat): only block-boundary activations are stored, trading ~1
+    # extra forward of FLOPs for the activation memory that otherwise caps
+    # the per-chip batch at yolo11x/imgsz-1280 (SURVEY §5.7 scale axis).
+    # Identical function and parameter tree; applies to train=True only.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -108,34 +114,42 @@ class YOLO11(nn.Module):
         w = lambda c: _width(c, width, max_ch)
         d = lambda n: _depth(n, depth)
         dt = self.dtype
+        if self.remat and train:
+            # static_argnums counts self at 0 -> the `train` python bool is 2
+            Block = nn.remat(C3k2, static_argnums=(2,))
+            Sppf = nn.remat(SPPF, static_argnums=(2,))
+            Psa = nn.remat(C2PSA, static_argnums=(2,))
+            Head = nn.remat(DetectHead, static_argnums=(2,))
+        else:
+            Block, Sppf, Psa, Head = C3k2, SPPF, C2PSA, DetectHead
 
         # Backbone
         x = ConvBN(w(64), 3, 2, dtype=dt, name="b0")(x, train)            # P1/2
         x = ConvBN(w(128), 3, 2, dtype=dt, name="b1")(x, train)           # P2/4
-        x = C3k2(w(256), d(2), c3k_all or False, 0.25, dtype=dt, name="b2")(x, train)
+        x = Block(w(256), d(2), c3k_all or False, 0.25, dtype=dt, name="b2")(x, train)
         x = ConvBN(w(256), 3, 2, dtype=dt, name="b3")(x, train)           # P3/8
-        p3 = C3k2(w(512), d(2), c3k_all or False, 0.25, dtype=dt, name="b4")(x, train)
+        p3 = Block(w(512), d(2), c3k_all or False, 0.25, dtype=dt, name="b4")(x, train)
         x = ConvBN(w(512), 3, 2, dtype=dt, name="b5")(p3, train)          # P4/16
-        p4 = C3k2(w(512), d(2), True, 0.5, dtype=dt, name="b6")(x, train)
+        p4 = Block(w(512), d(2), True, 0.5, dtype=dt, name="b6")(x, train)
         x = ConvBN(w(1024), 3, 2, dtype=dt, name="b7")(p4, train)         # P5/32
-        x = C3k2(w(1024), d(2), True, 0.5, dtype=dt, name="b8")(x, train)
-        x = SPPF(w(1024), 5, dtype=dt, name="b9")(x, train)
-        p5 = C2PSA(w(1024), d(2), dtype=dt, name="b10")(x, train)
+        x = Block(w(1024), d(2), True, 0.5, dtype=dt, name="b8")(x, train)
+        x = Sppf(w(1024), 5, dtype=dt, name="b9")(x, train)
+        p5 = Psa(w(1024), d(2), dtype=dt, name="b10")(x, train)
 
         # Head (PAN)
         x = jnp.concatenate([upsample2x(p5), p4], axis=-1)
-        h13 = C3k2(w(512), d(2), c3k_all or False, 0.5, dtype=dt, name="h13")(x, train)
+        h13 = Block(w(512), d(2), c3k_all or False, 0.5, dtype=dt, name="h13")(x, train)
         x = jnp.concatenate([upsample2x(h13), p3], axis=-1)
-        h16 = C3k2(w(256), d(2), c3k_all or False, 0.5, dtype=dt, name="h16")(x, train)
+        h16 = Block(w(256), d(2), c3k_all or False, 0.5, dtype=dt, name="h16")(x, train)
         x = ConvBN(w(256), 3, 2, dtype=dt, name="h17")(h16, train)
         x = jnp.concatenate([x, h13], axis=-1)
-        h19 = C3k2(w(512), d(2), c3k_all or False, 0.5, dtype=dt, name="h19")(x, train)
+        h19 = Block(w(512), d(2), c3k_all or False, 0.5, dtype=dt, name="h19")(x, train)
         x = ConvBN(w(512), 3, 2, dtype=dt, name="h20")(h19, train)
         x = jnp.concatenate([x, p5], axis=-1)
-        h22 = C3k2(w(1024), d(2), True, 0.5, dtype=dt, name="h22")(x, train)
+        h22 = Block(w(1024), d(2), True, 0.5, dtype=dt, name="h22")(x, train)
 
         ch = (w(256), w(512), w(1024))
-        return DetectHead(self.nc, ch, dtype=dt, name="detect")(
+        return Head(self.nc, ch, dtype=dt, name="detect")(
             (h16, h19, h22), train
         )
 

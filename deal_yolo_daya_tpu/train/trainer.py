@@ -116,6 +116,11 @@ class TrainConfig:
     # capture a jax.profiler trace of the first N steps of epoch 0 into
     # <run_dir>/profile (open with TensorBoard / xprof); 0 = off
     profile_steps: int = 0
+    # rematerialize heavy blocks in the backward pass (jax.checkpoint):
+    # ~1 extra forward of FLOPs for block-boundary-only activation storage —
+    # the batch-size lever at yolo11x/imgsz-1280 where activations cap HBM.
+    # Same function/params (tests/test_model.py::test_remat_equivalence).
+    remat: bool = False
     # fold the input /255 into the stem conv kernel: the step feeds raw
     # 0..255 images and scales the (3,3,3,C) kernel at trace time instead of
     # dividing the full image tensor (conv is linear, so outputs AND
@@ -228,7 +233,9 @@ class Trainer:
             config.batch = max(n_data, config.batch // n_data * n_data)
 
         self.dtype = jnp.bfloat16 if config.amp else jnp.float32
-        self.model = YOLO11(nc=self.nc, scale=self.scale, dtype=self.dtype)
+        self.model = YOLO11(
+            nc=self.nc, scale=self.scale, dtype=self.dtype, remat=config.remat
+        )
 
         if config.device_augment is None:
             config.device_augment = (os.cpu_count() or 1) <= 2

@@ -311,7 +311,8 @@ def render_training_platform():
              "仅此处可达的键：async_ckpt、keep_last、max_boxes、"
              "device_augment、donate、profile_steps、cache_budget_gb、"
              "conf、iou、max_det、warmup_epochs、lr0、lrf、momentum、"
-             "weight_decay",
+             "weight_decay、steps_per_dispatch（每次派发扫描K步）、"
+             "remat（大模型大分辨率时以算力换显存）、fold_input_div",
     )
     env_text = st.text_input("环境变量（KEY=VALUE，分号分隔）", key="train_env")
 

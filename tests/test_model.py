@@ -114,3 +114,35 @@ def test_fold_input_div_equivalence():
     box_b, cls_b = model.apply(folded, raw, train=False)
     for a, b in zip(list(box_a) + list(cls_a), list(box_b) + list(cls_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_remat_equivalence():
+    """remat=True (nn.remat on the heavy blocks) must be the same function
+    with the same parameter tree — values AND gradients — as remat=False;
+    only the backward-pass memory/FLOPs trade differs."""
+    import jax
+
+    m0 = YOLO11(nc=4, scale="n")
+    m1 = YOLO11(nc=4, scale="n", remat=True)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    v = jax.jit(lambda k: m0.init(k, jnp.zeros((1, 64, 64, 3)), train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    def loss(model, params):
+        (box, cls), _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in box + cls) * 1e-6
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g0, g1,
+    )
