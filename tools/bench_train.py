@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--spd", action="store_true",
                     help="space-to-depth lowering for all stride-2 3x3 convs "
                          "(item 4 retest)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize heavy blocks (activation-memory for "
+                         "FLOPs — the x@1280 batch lever); prints the "
+                         "compiled memory analysis for full_step")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +73,8 @@ def main():
 
     b, s, n = args.batch, args.imgsz, args.gt
     nc = 80
-    model = YOLO11(nc=nc, scale=args.scale, dtype=jnp.bfloat16)
+    model = YOLO11(nc=nc, scale=args.scale, dtype=jnp.bfloat16,
+                   remat=args.remat)
     variables = jax.jit(lambda k: model.init(k, jnp.zeros((1, s, s, 3), jnp.bfloat16), train=False))(
         jax.random.PRNGKey(0)
     )
@@ -198,6 +203,18 @@ def main():
             full_step,
             donate_argnums=(0, 1, 2, 3, 4) if args.donate else (),
         )
+        try:  # peak-memory evidence for the remat/donate levers
+            ma = fn.lower(
+                params, batch_stats, opt_state, ema, step0, images,
+                gt_boxes, gt_classes, gt_mask,
+            ).compile().memory_analysis()
+            if ma is not None:
+                print(f"full_step compiled memory: temp "
+                      f"{ma.temp_size_in_bytes / 1e9:.2f} GB, args "
+                      f"{ma.argument_size_in_bytes / 1e9:.2f} GB, out "
+                      f"{ma.output_size_in_bytes / 1e9:.2f} GB", flush=True)
+        except Exception:
+            pass
         t0 = time.time()
         st = fn(params, batch_stats, opt_state, ema, step0, images,
                 gt_boxes, gt_classes, gt_mask)
