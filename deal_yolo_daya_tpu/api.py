@@ -90,6 +90,38 @@ class YOLO:
             )
             self._infer_jit = None  # compiled against the old model/imgsz
 
+    @classmethod
+    def from_ultralytics(cls, ckpt, imgsz: int = 640) -> "YOLO":
+        """Build a model from a trained ultralytics YOLO11 checkpoint.
+
+        `ckpt` is a .pt path (loaded without ultralytics installed — see
+        models/torch_import.py) or an already-loaded torch/numpy state dict.
+        Scale and nc are inferred from the weights; class names carry over
+        when the checkpoint has them. This is the migration path for users
+        of the reference, whose trained artifacts are ultralytics best.pt
+        files (reference: core/training.py:63-64).
+        """
+        from .models.torch_import import (
+            import_state_dict,
+            infer_arch,
+            read_torch_checkpoint,
+        )
+
+        meta: Dict[str, Any] = {}
+        if isinstance(ckpt, (str, Path)):
+            sd, meta = read_torch_checkpoint(ckpt)
+        else:
+            sd = dict(ckpt)
+        scale, nc = infer_arch(sd)
+        self = cls(f"yolo11{scale}", nc=nc, imgsz=imgsz)
+        self._ensure_built()
+        self._variables, report = import_state_dict(sd, self._variables)
+        self.import_report = report
+        names = meta.get("names")
+        if names:
+            self.names = [names.get(i, str(i)) for i in range(nc)]
+        return self
+
     def load(self, ckpt_path) -> "YOLO":
         """Load weights from an orbax checkpoint dir saved by the trainer."""
         import orbax.checkpoint as ocp

@@ -7,3 +7,9 @@ ultralytics/cfg/models/11/yolo11.yaml at ui/pages/training.py:345).
 """
 
 from .yolo11 import YOLO11, YOLO11_SCALES, build_yolo11  # noqa: F401
+from .torch_import import (  # noqa: F401
+    export_state_dict,
+    import_state_dict,
+    infer_arch,
+    read_torch_checkpoint,
+)
