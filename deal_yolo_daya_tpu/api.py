@@ -53,7 +53,7 @@ class Detections:
 
 
 class YOLO:
-    """TPU-native YOLO11 model handle.
+    """TPU-native YOLO model handle (families: yolo11, yolov8).
 
     >>> model = YOLO("yolo11n")
     >>> model.train(data="data.yaml", epochs=10, imgsz=640)
@@ -61,10 +61,10 @@ class YOLO:
     """
 
     def __init__(self, model: str = "yolo11n", nc: int = 80, imgsz: int = 640):
-        from .train.trainer import parse_scale
+        from .models.registry import parse_model_spec
 
         self.model_spec = str(model)
-        self.scale = parse_scale(self.model_spec)
+        self.family, self.scale = parse_model_spec(self.model_spec)
         self.nc = nc
         self.imgsz = imgsz
         self.names: List[str] = [str(i) for i in range(nc)]
@@ -80,19 +80,20 @@ class YOLO:
     def _ensure_built(self, nc: Optional[int] = None):
         import jax.numpy as jnp
 
-        from .models import build_yolo11
+        from .models import build_detector
 
         if self._model is None or (nc is not None and nc != self.nc):
             if nc is not None:
                 self.nc = nc
-            self._model, self._variables = build_yolo11(
-                self.scale, nc=self.nc, imgsz=self.imgsz, dtype=jnp.bfloat16
+            self._model, self._variables = build_detector(
+                f"{self.family}{self.scale}", nc=self.nc, imgsz=self.imgsz,
+                dtype=jnp.bfloat16,
             )
             self._infer_jit = None  # compiled against the old model/imgsz
 
     @classmethod
     def from_ultralytics(cls, ckpt, imgsz: int = 640) -> "YOLO":
-        """Build a model from a trained ultralytics YOLO11 checkpoint.
+        """Build a model from a trained ultralytics YOLO11/YOLOv8 checkpoint.
 
         `ckpt` is a .pt path (loaded without ultralytics installed — see
         models/torch_import.py) or an already-loaded torch/numpy state dict.
@@ -112,8 +113,8 @@ class YOLO:
             sd, meta = read_torch_checkpoint(ckpt)
         else:
             sd = dict(ckpt)
-        scale, nc = infer_arch(sd)
-        self = cls(f"yolo11{scale}", nc=nc, imgsz=imgsz)
+        family, scale, nc = infer_arch(sd)
+        self = cls(f"{family}{scale}", nc=nc, imgsz=imgsz)
         self._ensure_built()
         self._variables, report = import_state_dict(sd, self._variables)
         self.import_report = report
@@ -136,6 +137,15 @@ class YOLO:
             pass
         if leaf_nc:
             self.nc = int(leaf_nc)
+        try:
+            # the tree knows what it is — a bare YOLO(ckpt_dir) carries no
+            # family/scale in its spec string
+            from .models.registry import infer_arch_from_tree
+
+            self.family, self.scale = infer_arch_from_tree(params)
+            self._model = None  # rebuild against the inferred architecture
+        except (KeyError, ValueError, TypeError):
+            pass  # non-standard tree: keep the spec-derived architecture
         self._ensure_built()
         self._variables = {
             "params": params,
@@ -355,6 +365,7 @@ class YOLO:
             with ocp.PyTreeCheckpointer() as ckptr:
                 ckptr.save(out_dir / "quant", qsave, force=True)
         (out_dir / "meta.json").write_text(_json.dumps({
+            "family": self.family,
             "scale": self.scale,
             "nc": self.nc,
             "names": list(self.names),
@@ -441,6 +452,7 @@ class YOLO:
         out_dir.mkdir(parents=True, exist_ok=True)
         (out_dir / "model.stablehlo").write_bytes(exported.serialize())
         (out_dir / "meta.json").write_text(_json.dumps({
+            "family": self.family,
             "scale": self.scale,
             "nc": self.nc,
             "names": list(self.names),
@@ -479,7 +491,8 @@ class YOLO:
 
         bundle_dir = Path(bundle_dir).resolve()
         meta = _json.loads((bundle_dir / "meta.json").read_text())
-        model = cls(f"yolo11{meta['scale']}", nc=meta["nc"], imgsz=meta["imgsz"])
+        family = meta.get("family", "yolo11")  # pre-registry bundles: yolo11
+        model = cls(f"{family}{meta['scale']}", nc=meta["nc"], imgsz=meta["imgsz"])
         model.names = meta["names"]
         model._ensure_built()
         with ocp.PyTreeCheckpointer() as ckptr:

@@ -202,6 +202,9 @@ class C3k2(nn.Module):
     c3k: bool = False
     expansion: float = 0.5
     shortcut: bool = True
+    # expansion of the inner Bottlenecks when c3k=False: 0.5 is the YOLO11
+    # C3k2 value; the YOLOv8 C2f (same CSP topology) uses 1.0
+    inner_e: float = 0.5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -216,7 +219,8 @@ class C3k2(nn.Module):
                 )
             else:
                 nxt = Bottleneck(
-                    hidden, self.shortcut, (3, 3), 0.5, dtype=self.dtype, name=f"m{i}"
+                    hidden, self.shortcut, (3, 3), self.inner_e,
+                    dtype=self.dtype, name=f"m{i}",
                 )(chunks[-1], train)
             chunks.append(nxt)
         return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(

@@ -1,4 +1,5 @@
-"""Import trained ultralytics YOLO11 checkpoints (.pt) into this framework.
+"""Import trained ultralytics YOLO11/YOLOv8 checkpoints (.pt) into this
+framework.
 
 The reference trains through ultralytics (reference: core/training.py:63-64,
 pyproject.toml:21 pins ultralytics 8.4.18); a user migrating from it owns
@@ -18,10 +19,11 @@ installed and maps the torch state dict onto our Flax parameter tree:
   torch consumer.
 
 The name translation is 1:1 because the network topology is (see
-models/yolo11.py): ultralytics module indices 0..10 are our b0..b10,
-13/16/17/19/20/22 are h13..h22, 23 is `detect`. Fused checkpoints (conv bias
-present, no bn) import too: the bias moves into an identity BN, mirroring
-`fuse_conv_bn`.
+models/yolo11.py and models/yolov8.py): our Flax module names encode the
+ultralytics module indices (TOP_MODULES_BY_FAMILY), and the family is
+recovered from the tree (YOLO11 has the C2PSA stage b10; Detect sits at 23
+vs 22). Fused checkpoints (conv bias present, no bn) import too: the bias
+moves into an identity BN, mirroring `fuse_conv_bn`.
 """
 
 from __future__ import annotations
@@ -36,13 +38,25 @@ from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
-# ultralytics module index (DetectionModel.model[i]) -> our top-level module
-TOP_MODULES: Dict[str, int] = {
-    "b0": 0, "b1": 1, "b2": 2, "b3": 3, "b4": 4, "b5": 5, "b6": 6,
-    "b7": 7, "b8": 8, "b9": 9, "b10": 10,
-    "h13": 13, "h16": 16, "h17": 17, "h19": 19, "h20": 20, "h22": 22,
-    "detect": 23,
+# ultralytics module index (DetectionModel.model[i]) -> our top-level module.
+# YOLO11: C2PSA at 10 pushes the head to 13..22, Detect at 23. YOLOv8 has no
+# attention stage: head at 12..21, Detect at 22. Our Flax module names encode
+# the same indices, so the family is recoverable from the parameter tree.
+TOP_MODULES_BY_FAMILY: Dict[str, Dict[str, int]] = {
+    "yolo11": {
+        "b0": 0, "b1": 1, "b2": 2, "b3": 3, "b4": 4, "b5": 5, "b6": 6,
+        "b7": 7, "b8": 8, "b9": 9, "b10": 10,
+        "h13": 13, "h16": 16, "h17": 17, "h19": 19, "h20": 20, "h22": 22,
+        "detect": 23,
+    },
+    "yolov8": {
+        "b0": 0, "b1": 1, "b2": 2, "b3": 3, "b4": 4, "b5": 5, "b6": 6,
+        "b7": 7, "b8": 8, "b9": 9,
+        "h12": 12, "h15": 15, "h16": 16, "h18": 18, "h19": 19, "h21": 21,
+        "detect": 22,
+    },
 }
+TOP_MODULES = TOP_MODULES_BY_FAMILY["yolo11"]  # backwards-compat alias
 
 # leaf parameter name translation (ours -> ultralytics)
 _LEAF = {
@@ -58,8 +72,8 @@ _LEAF = {
 # is computed arithmetically, train/loss.py), Detect grid buffers.
 _SKIP_PATTERNS = [
     re.compile(r"\.num_batches_tracked$"),
-    re.compile(r"^23\.dfl\."),
-    re.compile(r"^23\.(stride|strides|anchors|shape)$"),
+    re.compile(r"^2[23]\.dfl\."),
+    re.compile(r"^2[23]\.(stride|strides|anchors|shape)$"),
 ]
 
 
@@ -106,12 +120,14 @@ def ultralytics_key_map(variables) -> List[Tuple[str, Tuple[str, ...], str, bool
                 key = ".".join(segs + [_LEAF[k]])
                 entries.append((coll, path + (k,), key, k == "kernel"))
 
+    family = "yolo11" if "b10" in (variables.get("params") or {}) else "yolov8"
+    top_modules = TOP_MODULES_BY_FAMILY[family]
     for coll in ("params", "batch_stats"):
         tree = variables.get(coll)
         if tree is None:
             continue
         for top, sub in tree.items():
-            idx = TOP_MODULES[top]
+            idx = top_modules[top]
             walk(sub, coll, (top,), [str(idx)], top == "detect")
     return entries
 
@@ -351,14 +367,33 @@ def _looks_like_state_dict(obj) -> bool:
     )
 
 
-def infer_arch(sd: Dict[str, Any]) -> Tuple[str, int]:
-    """Infer (scale, nc) from a normalized ultralytics state dict."""
+def infer_arch(sd: Dict[str, Any]) -> Tuple[str, str, int]:
+    """Infer (family, scale, nc) from a normalized ultralytics state dict.
+
+    The Detect module index distinguishes the family (YOLO11: 23, YOLOv8:
+    22 — v8 has no C2PSA stage); the stem width gives the scale.
+    """
     sd, _ = normalize_keys(dict(sd))
+    if "23.cv3.0.2.bias" in sd:
+        family, detect = "yolo11", 23
+    elif "22.cv3.0.2.bias" in sd:
+        family, detect = "yolov8", 22
+    else:
+        raise ValueError(
+            "not a YOLO11/YOLOv8 detection state dict (no Detect cls bias "
+            "at module index 22 or 23)"
+        )
     try:
-        nc = int(sd["23.cv3.0.2.bias"].shape[0])
+        nc = int(sd[f"{detect}.cv3.0.2.bias"].shape[0])
         stem = int(sd["0.conv.weight"].shape[0])
     except KeyError as e:
-        raise ValueError(f"not a YOLO11 detection state dict (missing {e})")
+        raise ValueError(f"not a YOLO detection state dict (missing {e})")
+    if family == "yolov8":
+        # widths 0.25/0.50/0.75/1.00/1.25 of 64 are all distinct
+        by_stem = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}
+        if stem not in by_stem:
+            raise ValueError(f"unrecognized yolov8 stem width {stem}")
+        return family, by_stem[stem], nc
     if stem == 16:
         scale = "n"
     elif stem == 32:
@@ -370,4 +405,4 @@ def infer_arch(sd: Dict[str, Any]) -> Tuple[str, int]:
         scale = "l" if "2.m.1.cv1.conv.weight" in sd else "m"
     else:
         raise ValueError(f"unrecognized stem width {stem}")
-    return scale, nc
+    return family, scale, nc

@@ -54,11 +54,14 @@ class DetectHead(nn.Module):
 
     Per level: box branch 2x ConvBN(3x3) -> 1x1 conv to 4*REG_MAX bins;
     cls branch 2x [DWConv3x3 + ConvBN1x1] -> 1x1 conv to nc logits.
+    With legacy=True the cls branch is the YOLOv8 form instead: 2x
+    ConvBN(3x3) -> 1x1 conv (no depthwise split).
     Class bias is prior-initialized per stride so early training is stable.
     """
 
     nc: int
     ch: Sequence[int]
+    legacy: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -77,10 +80,14 @@ class DetectHead(nn.Module):
                 bias_init=nn.initializers.constant(1.0),
                 name=f"box{i}_2",
             )(b)
-            c = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cls{i}_0dw")(x, train)
-            c = ConvBN(c3, 1, dtype=self.dtype, name=f"cls{i}_0pw")(c, train)
-            c = DWConv(c3, 3, dtype=self.dtype, name=f"cls{i}_1dw")(c, train)
-            c = ConvBN(c3, 1, dtype=self.dtype, name=f"cls{i}_1pw")(c, train)
+            if self.legacy:
+                c = ConvBN(c3, 3, dtype=self.dtype, name=f"cls{i}_0")(x, train)
+                c = ConvBN(c3, 3, dtype=self.dtype, name=f"cls{i}_1")(c, train)
+            else:
+                c = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cls{i}_0dw")(x, train)
+                c = ConvBN(c3, 1, dtype=self.dtype, name=f"cls{i}_0pw")(c, train)
+                c = DWConv(c3, 3, dtype=self.dtype, name=f"cls{i}_1dw")(c, train)
+                c = ConvBN(c3, 1, dtype=self.dtype, name=f"cls{i}_1pw")(c, train)
             prior = math.log(5 / self.nc / (640 / stride) ** 2)
             c = nn.Conv(
                 self.nc, (1, 1), use_bias=True, dtype=self.dtype,

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..models.registry import make_detector, parse_model_spec
 from ..models.yolo11 import YOLO11, YOLO11_SCALES
 from ..ops.decode import decode_predictions
 from ..ops.nms import batched_nms
@@ -172,14 +173,11 @@ def scale_stem_kernel(params, scale: float):
 
 
 def parse_scale(model: str) -> str:
-    """'yolo11n' | 'yolo11n.yaml' | '.../yolo11x.yaml' -> scale letter."""
+    """'yolo11n' | 'yolov8s.yaml' | '.../yolo11x.yaml' -> scale letter."""
     stem = Path(str(model)).stem.lower()
-    for s in "nsmlx":
-        if stem.endswith(s) and "yolo11" in stem:
-            return s
     if stem in YOLO11_SCALES:
         return stem
-    return "n"
+    return parse_model_spec(model)[1]
 
 
 def fitness(metrics: Dict[str, float]) -> float:
@@ -208,7 +206,7 @@ class Trainer:
         # used by api.val(int8=True) to score the quantized serving path
         # with the exact same metrics pipeline
         self._eval_apply = eval_apply
-        self.scale = parse_scale(config.model)
+        self.family, self.scale = parse_model_spec(config.model)
         self.train_ds = YoloDataset.from_yaml(config.data, "train")
         self.val_ds = YoloDataset.from_yaml(config.data, "val")
         if config.cache and config.cache != "device":
@@ -233,8 +231,9 @@ class Trainer:
             config.batch = max(n_data, config.batch // n_data * n_data)
 
         self.dtype = jnp.bfloat16 if config.amp else jnp.float32
-        self.model = YOLO11(
-            nc=self.nc, scale=self.scale, dtype=self.dtype, remat=config.remat
+        self.model = make_detector(
+            self.family, self.scale, self.nc, dtype=self.dtype,
+            remat=config.remat,
         )
 
         if config.device_augment is None:

@@ -123,14 +123,26 @@ def test_infer_arch():
             "model.0.conv.weight": np.zeros((stem, 3, 3, 3), np.float32),
             "model.23.cv3.0.2.bias": np.zeros(11, np.float32),
         }
-        assert infer_arch(sd) == (scale, 11)
+        assert infer_arch(sd) == ("yolo11", scale, 11)
     base = {
         "0.conv.weight": np.zeros((64, 3, 3, 3), np.float32),
         "23.cv3.0.2.bias": np.zeros(80, np.float32),
     }
-    assert infer_arch(base) == ("m", 80)
+    assert infer_arch(base) == ("yolo11", "m", 80)
     base["2.m.1.cv1.conv.weight"] = np.zeros((16, 32, 3, 3), np.float32)
-    assert infer_arch(base) == ("l", 80)
+    assert infer_arch(base) == ("yolo11", "l", 80)
+
+
+def test_infer_arch_yolov8():
+    # v8: Detect at module 22; stem widths are distinct across all scales
+    for stem, scale in [(16, "n"), (32, "s"), (48, "m"), (64, "l"), (80, "x")]:
+        sd = {
+            "model.0.conv.weight": np.zeros((stem, 3, 3, 3), np.float32),
+            "model.22.cv3.0.2.bias": np.zeros(9, np.float32),
+        }
+        assert infer_arch(sd) == ("yolov8", scale, 9)
+    with pytest.raises(ValueError, match="no Detect cls bias"):
+        infer_arch({"0.conv.weight": np.zeros((16, 3, 3, 3), np.float32)})
 
 
 def test_normalize_keys_prefix_stripping():
