@@ -20,6 +20,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", extras}.
 
 Flags (driver default = no flags, output shape unchanged):
   --scale {n,s,m,l,x}   bench a different model scale (default n)
+  --model {yolo11,yolov8}  bench the other model family (default yolo11)
   --weights CKPT_DIR    also bench e2e inference with trained weights loaded
                         via api.YOLO.load (adds trained_* fields)
   --int8                also bench the post-training int8 (w8a8) serving path
@@ -44,6 +45,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 # ultralytics published T4 TensorRT10 latencies @640 (ms/img), the engine the
 # reference delegates to — the only public per-scale anchor
 ANCHOR_MS = {"n": 1.5, "s": 2.5, "m": 5.0, "l": 6.2, "x": 11.3}
+# same source for the YOLOv8 family (ultralytics README perf table)
+ANCHOR_MS_V8 = {"n": 1.47, "s": 2.66, "m": 5.86, "l": 9.06, "x": 14.37}
 # bf16 peak by TPU generation (public spec sheets); MFU is reported against
 # the chip actually attached
 PEAK_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0, "v4": 275.0}
@@ -71,11 +74,14 @@ def _flops_per_exec(jitted, *example_args) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="n", choices=sorted(ANCHOR_MS))
+    ap.add_argument("--model", default="yolo11", choices=("yolo11", "yolov8"),
+                    help="model family (registry dispatch)")
     ap.add_argument("--weights", default="", help="orbax ckpt dir (trainer output)")
     ap.add_argument("--int8", action="store_true",
                     help="also bench the int8 (w8a8) serving path")
     args = ap.parse_args()
     scale = args.scale
+    family = args.model
 
     # The shared axon tunnel can go down for hours (observed round 3):
     # jax device init then hangs forever. Probe it in a killable subprocess
@@ -110,7 +116,7 @@ def main():
                 time.sleep(wait)
         if not ok:
             print(json.dumps({
-                "metric": f"yolo11{scale}_e2e_infer_images_per_sec_640",
+                "metric": f"{family}{scale}_e2e_infer_images_per_sec_640",
                 "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
                 "error": "device backend unavailable "
                          "(init probe timed out 3x over ~10 min)",
@@ -118,10 +124,17 @@ def main():
             return
 
     import jax
+
+    if os.environ.get("DYD_FORCE_PLATFORM"):
+        # the axon sitecustomize re-registers its backend programmatically,
+        # overriding JAX_PLATFORMS — only jax.config wins (tests/conftest.py
+        # does the same); used for CPU smoke runs of this script
+        jax.config.update("jax_platforms", os.environ["DYD_FORCE_PLATFORM"])
+
     import jax.numpy as jnp
     import optax
 
-    from deal_yolo_daya_tpu.models import build_yolo11
+    from deal_yolo_daya_tpu.models import build_detector
     from deal_yolo_daya_tpu.models.yolo11 import fuse_conv_bn
     from deal_yolo_daya_tpu.ops.decode import decode_predictions
     from deal_yolo_daya_tpu.ops.nms import batched_nms
@@ -134,7 +147,9 @@ def main():
     # larger scales shrink batches to fit HBM at @640 activations
     batch = {"n": 32, "s": 32, "m": 16, "l": 16, "x": 8}[scale]
     big = {"n": 128, "s": 128, "m": 64, "l": 64, "x": 32}[scale]
-    model, variables = build_yolo11(scale, nc=80, imgsz=imgsz, dtype=jnp.bfloat16)
+    model, variables = build_detector(
+        f"{family}{scale}", nc=80, imgsz=imgsz, dtype=jnp.bfloat16
+    )
     fused = fuse_conv_bn(variables)
 
     @jax.jit
@@ -215,7 +230,7 @@ def main():
     if args.weights:
         from deal_yolo_daya_tpu.api import YOLO
 
-        handle = YOLO(f"yolo11{scale}", imgsz=imgsz).load(args.weights)
+        handle = YOLO(f"{family}{scale}", imgsz=imgsz).load(args.weights)
         tmodel, tvars = handle._model, handle._variables
         tfused = fuse_conv_bn(tvars)
 
@@ -337,9 +352,9 @@ def main():
     )
     train_mfu = train_flops * train_big_ips / big / peak
 
-    anchor_ips = 1000.0 / ANCHOR_MS[scale]
+    anchor_ips = 1000.0 / (ANCHOR_MS_V8 if family == "yolov8" else ANCHOR_MS)[scale]
     print(
-        f"[bench] yolo11{scale} @640 bf16 on {jax.devices()[0].device_kind}: "
+        f"[bench] {family}{scale} @640 bf16 on {jax.devices()[0].device_kind}: "
         f"infer b{batch} {infer_ips:.1f} img/s ({infer_ms * 1e3:.2f} ms/batch), "
         f"b{big} {big_ips:.1f} img/s (MFU {100 * infer_mfu:.1f}%), "
         f"NMS-stress {stress_ips:.1f} img/s ({stress_ms * 1e3:.2f} ms/batch), "
@@ -351,7 +366,7 @@ def main():
         file=sys.stderr,
     )
     out = {
-        "metric": f"yolo11{scale}_e2e_infer_images_per_sec_640",
+        "metric": f"{family}{scale}_e2e_infer_images_per_sec_640",
         "value": round(big_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(big_ips / anchor_ips, 3),
