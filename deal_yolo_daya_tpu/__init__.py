@@ -20,15 +20,22 @@ Cyclones-Y/Deal-Yolo-Daya (reference: /root/reference):
 - ``core``      drop-in compatible core API (processor/training/utils) so the
                 reference's UI and configs work unchanged.
 - ``ui``        Streamlit shell (import-gated; streamlit optional).
+- ``serve``     production serving: micro-batching inference Engine +
+                stdlib HTTP frontend (deadline batcher over fixed compiled
+                batch buckets; the reference stops at ultralytics export()).
 """
 
 __version__ = "0.1.0"
 
 
 def __getattr__(name):
-    # lazy top-level export: `from deal_yolo_daya_tpu import YOLO`
+    # lazy top-level exports: `from deal_yolo_daya_tpu import YOLO, Engine`
     if name == "YOLO":
         from .api import YOLO
 
         return YOLO
+    if name == "Engine":
+        from .serve import Engine
+
+        return Engine
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -29,6 +29,8 @@ run train_folddiv   1800 python tools/bench_train.py --only full_step --fold-div
 run train_donate    2400 python tools/bench_train.py --only full_step --donate
 run train_spd       1800 python tools/bench_train.py --only full_step --spd
 run aug_warp        1800 python tools/bench_augment.py
+run serve_n         1800 python tools/bench_serve.py --seconds 20
+run serve_n_openloop 1800 python tools/bench_serve.py --seconds 20 --rate 2000
 # remat: x-scale @1280 batch lever (memory analysis + step rate, b2 vs b4)
 run x1280_b2        2400 python tools/bench_train.py --scale x --imgsz 1280 --batch 2 --iters 10 --only full_step
 run x1280_b4_remat  2400 python tools/bench_train.py --scale x --imgsz 1280 --batch 4 --iters 10 --only full_step --remat
