@@ -20,7 +20,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", extras}.
 
 Flags (driver default = no flags, output shape unchanged):
   --scale {n,s,m,l,x}   bench a different model scale (default n)
-  --model {yolo11,yolov8}  bench the other model family (default yolo11)
+  --model {yolo11,yolov8,yolo12}  bench another model family (default yolo11)
   --weights CKPT_DIR    also bench e2e inference with trained weights loaded
                         via api.YOLO.load (adds trained_* fields)
   --int8                also bench the post-training int8 (w8a8) serving path
@@ -47,6 +47,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 ANCHOR_MS = {"n": 1.5, "s": 2.5, "m": 5.0, "l": 6.2, "x": 11.3}
 # same source for the YOLOv8 family (ultralytics README perf table)
 ANCHOR_MS_V8 = {"n": 1.47, "s": 2.66, "m": 5.86, "l": 9.06, "x": 14.37}
+# YOLOv12 paper table 1 (T4 TensorRT fp16 latency @640)
+ANCHOR_MS_V12 = {"n": 1.64, "s": 2.61, "m": 4.86, "l": 6.77, "x": 11.79}
 # bf16 peak by TPU generation (public spec sheets); MFU is reported against
 # the chip actually attached
 PEAK_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0, "v4": 275.0}
@@ -74,7 +76,8 @@ def _flops_per_exec(jitted, *example_args) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="n", choices=sorted(ANCHOR_MS))
-    ap.add_argument("--model", default="yolo11", choices=("yolo11", "yolov8"),
+    ap.add_argument("--model", default="yolo11",
+                    choices=("yolo11", "yolov8", "yolo12"),
                     help="model family (registry dispatch)")
     ap.add_argument("--weights", default="", help="orbax ckpt dir (trainer output)")
     ap.add_argument("--int8", action="store_true",
@@ -102,9 +105,15 @@ def main():
             except subprocess.TimeoutExpired:
                 return False
 
-        # ~3 attempts x 180 s + 60/120 s backoff ≈ 12 min worst case
+        # Default ~5 attempts x 180 s + backoffs ≈ 27 min worst case; the
+        # inter-attempt sleeps are env-tunable (comma-separated seconds,
+        # last entry 0) so a driver with a tight budget can shrink it.
+        sched = tuple(
+            int(s) for s in
+            os.environ.get("DYD_PROBE_SCHEDULE", "60,120,240,300,0").split(",")
+        )
         ok = False
-        for i, wait in enumerate((60, 120, 0)):
+        for i, wait in enumerate(sched):
             ok = _probe_once(180)
             if ok:
                 break
@@ -119,7 +128,7 @@ def main():
                 "metric": f"{family}{scale}_e2e_infer_images_per_sec_640",
                 "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
                 "error": "device backend unavailable "
-                         "(init probe timed out 3x over ~10 min)",
+                         f"(init probe timed out {len(sched)}x with backoff)",
             }))
             return
 
@@ -352,7 +361,8 @@ def main():
     )
     train_mfu = train_flops * train_big_ips / big / peak
 
-    anchor_ips = 1000.0 / (ANCHOR_MS_V8 if family == "yolov8" else ANCHOR_MS)[scale]
+    anchor_table = {"yolov8": ANCHOR_MS_V8, "yolo12": ANCHOR_MS_V12}
+    anchor_ips = 1000.0 / anchor_table.get(family, ANCHOR_MS)[scale]
     print(
         f"[bench] {family}{scale} @640 bf16 on {jax.devices()[0].device_kind}: "
         f"infer b{batch} {infer_ips:.1f} img/s ({infer_ms * 1e3:.2f} ms/batch), "

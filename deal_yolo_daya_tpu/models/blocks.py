@@ -334,6 +334,123 @@ class C2PSA(nn.Module):
         )
 
 
+class AAttn(nn.Module):
+    """Area attention (YOLOv12): full softmax attention over the flattened
+    H*W token sequence, partitioned into `area` equal contiguous chunks so
+    each chunk attends within itself only — the quadratic term drops by
+    area^2 while the matmuls stay MXU-shaped (batched (N/area)^2 einsums).
+
+    qkv/proj are 1x1 convs; a depthwise 7x7 conv on V is the positional
+    encoding. Row-major chunking (stripes of the image) matches the public
+    YOLOv12 semantics so trained ultralytics checkpoints import exactly.
+    """
+
+    dim: int
+    num_heads: int
+    area: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        n = h * w
+        if n % self.area:
+            raise ValueError(
+                f"AAttn: {h}x{w}={n} tokens not divisible by area={self.area}"
+            )
+        head_dim = self.dim // self.num_heads
+        qkv = ConvBN(3 * self.dim, 1, act=False, dtype=self.dtype, name="qkv")(
+            x, train
+        )
+        # (b*area, n/area, heads, 3*head_dim): per-head interleaved q|k|v,
+        # matching the torch view(B,N,heads,3*hd).split layout
+        qkv = qkv.reshape(b * self.area, n // self.area, self.num_heads,
+                          3 * head_dim)
+        q = qkv[..., :head_dim]
+        k = qkv[..., head_dim:2 * head_dim]
+        v = qkv[..., 2 * head_dim:]
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, self.dim)
+
+        pe = ConvBN(
+            self.dim, 7, groups=self.dim, act=False, dtype=self.dtype, name="pe"
+        )(v.reshape(b, h, w, self.dim), train)
+        return ConvBN(self.dim, 1, act=False, dtype=self.dtype, name="proj")(
+            out + pe, train
+        )
+
+
+class ABlock(nn.Module):
+    """Area-attention transformer block: AAttn + 1x1-conv MLP, both residual."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 1.2
+    area: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + AAttn(
+            self.dim, self.num_heads, self.area, dtype=self.dtype, name="attn"
+        )(x, train)
+        y = ConvBN(
+            int(self.dim * self.mlp_ratio), 1, dtype=self.dtype, name="mlp0"
+        )(x, train)
+        y = ConvBN(self.dim, 1, act=False, dtype=self.dtype, name="mlp1")(y, train)
+        return x + y
+
+
+class A2C2f(nn.Module):
+    """R-ELAN stage (YOLOv12): cv1 -> n sequential inner modules (each two
+    ABlocks when a2, else one C3k) with every intermediate concatenated into
+    cv2 — plus an optional learned-gamma residual around the whole stage
+    (the l/x config). Channel contract mirrors the public A2C2f."""
+
+    features: int
+    n: int = 1
+    a2: bool = True
+    area: int = 1
+    residual: bool = False
+    mlp_ratio: float = 2.0
+    expansion: float = 0.5
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.features * self.expansion)
+        if self.a2 and hidden % 32:
+            raise ValueError(f"A2C2f: hidden dim {hidden} not a multiple of 32")
+        y = ConvBN(hidden, 1, dtype=self.dtype, name="cv1")(x, train)
+        chunks = [y]
+        for i in range(self.n):
+            t = chunks[-1]
+            if self.a2:
+                for j in range(2):
+                    t = ABlock(
+                        hidden, hidden // 32, self.mlp_ratio, self.area,
+                        dtype=self.dtype, name=f"m{i}_blk{j}",
+                    )(t, train)
+            else:
+                t = C3k(
+                    hidden, 2, self.shortcut, dtype=self.dtype, name=f"m{i}"
+                )(t, train)
+            chunks.append(t)
+        out = ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(chunks, axis=-1), train
+        )
+        if self.a2 and self.residual:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(0.01),
+                (self.features,), jnp.float32,
+            )
+            return x + gamma.astype(out.dtype) * out
+        return out
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x upsample (pure reshape/broadcast — free on TPU)."""
     b, h, w, c = x.shape

@@ -4,9 +4,9 @@ The reference's training page passes a free-form ultralytics model spec
 (reference: ui/pages/training.py:345 default
 "ultralytics/cfg/models/11/yolo11.yaml"; any family ultralytics ships is
 accepted by core/training.py:63). Here the supported families are YOLO11
-(default) and YOLOv8, both emitting the identical per-level head contract,
-so every downstream stage (loss, trainer, NMS, metrics, serving, int8) is
-family-agnostic.
+(default), YOLOv8, and YOLOv12, all emitting the identical per-level head
+contract, so every downstream stage (loss, trainer, NMS, metrics, serving,
+int8) is family-agnostic.
 """
 
 from __future__ import annotations
@@ -20,20 +20,27 @@ import jax.numpy as jnp
 
 from .yolo11 import YOLO11, YOLO11_SCALES
 from .yolov8 import YOLOv8, YOLOV8_SCALES
+from .yolov12 import YOLOv12, YOLOV12_SCALES
 
 FAMILIES = {
     "yolo11": (YOLO11, YOLO11_SCALES),
     "yolov8": (YOLOv8, YOLOV8_SCALES),
+    "yolo12": (YOLOv12, YOLOV12_SCALES),
 }
 
 
 def parse_model_spec(model: str) -> Tuple[str, str]:
-    """'yolo11n' | 'yolov8s.yaml' | '.../yolo11x.yaml' -> (family, scale).
+    """'yolo11n' | 'yolov8s.yaml' | '.../yolo12x.yaml' -> (family, scale).
 
     Unknown specs default to ('yolo11', 'n') — the reference UI default.
     """
     stem = Path(str(model)).stem.lower()
-    family = "yolov8" if "yolov8" in stem or "yolo8" in stem else "yolo11"
+    if "yolov12" in stem or "yolo12" in stem:
+        family = "yolo12"
+    elif "yolov8" in stem or "yolo8" in stem:
+        family = "yolov8"
+    else:
+        family = "yolo11"
     if stem in set("nsmlx"):  # bare scale letter (defaults family)
         return family, stem
     if "yolo" in stem:  # scale letter only trusted on a yolo-looking spec
@@ -46,16 +53,22 @@ def parse_model_spec(model: str) -> Tuple[str, str]:
 def infer_arch_from_tree(params) -> Tuple[str, str]:
     """(family, scale) from a checkpoint's parameter tree.
 
-    Family: the C2PSA stage b10 exists only in YOLO11 (YOLOv8's head starts
-    at h12). Scale: stem width; YOLO11 m/l share width 64 and are split by
-    backbone depth (l has 2 inner bottlenecks in b2). Mirrors
+    Family: the first PAN stage's module index is family-unique (YOLOv12's
+    head starts at h11, YOLO11 has the C2PSA stage b10, YOLOv8's head starts
+    at h12). Scale: stem width; m/l pairs that share width are split by
+    backbone depth (l has 2 inner modules in b2). Mirrors
     torch_import.infer_arch, which does the same over ultralytics keys.
     """
-    family = "yolo11" if "b10" in params else "yolov8"
+    if "h11" in params:
+        family = "yolo12"
+    elif "b10" in params:
+        family = "yolo11"
+    else:
+        family = "yolov8"
     stem = int(jnp.shape(params["b0"]["conv"]["kernel"])[-1])
     if family == "yolov8":
         by_stem = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}
-    else:
+    else:  # yolo11 and yolo12 share the width/depth scale table
         by_stem = {16: "n", 32: "s", 96: "x",
                    64: "l" if "m1" in params["b2"] else "m"}
     if stem not in by_stem:

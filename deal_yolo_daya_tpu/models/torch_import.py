@@ -1,5 +1,5 @@
-"""Import trained ultralytics YOLO11/YOLOv8 checkpoints (.pt) into this
-framework.
+"""Import trained ultralytics YOLO11/YOLOv8/YOLOv12 checkpoints (.pt) into
+this framework.
 
 The reference trains through ultralytics (reference: core/training.py:63-64,
 pyproject.toml:21 pins ultralytics 8.4.18); a user migrating from it owns
@@ -19,10 +19,11 @@ installed and maps the torch state dict onto our Flax parameter tree:
   torch consumer.
 
 The name translation is 1:1 because the network topology is (see
-models/yolo11.py and models/yolov8.py): our Flax module names encode the
-ultralytics module indices (TOP_MODULES_BY_FAMILY), and the family is
-recovered from the tree (YOLO11 has the C2PSA stage b10; Detect sits at 23
-vs 22). Fused checkpoints (conv bias present, no bn) import too: the bias
+models/yolo11.py, models/yolov8.py, models/yolov12.py): our Flax module
+names encode the ultralytics module indices (TOP_MODULES_BY_FAMILY), and the
+family is recovered from the tree (YOLO11 has the C2PSA stage b10, YOLOv12's
+head starts at h11; Detect sits at 23 vs 22 vs 21). Fused checkpoints (conv
+bias present, no bn) import too: the bias
 moves into an identity BN, mirroring `fuse_conv_bn`.
 """
 
@@ -55,6 +56,13 @@ TOP_MODULES_BY_FAMILY: Dict[str, Dict[str, int]] = {
         "h12": 12, "h15": 15, "h16": 16, "h18": 18, "h19": 19, "h21": 21,
         "detect": 22,
     },
+    # YOLOv12: 9 backbone modules (no SPPF/C2PSA), head at 11..20, Detect 21
+    "yolo12": {
+        "b0": 0, "b1": 1, "b2": 2, "b3": 3, "b4": 4, "b5": 5, "b6": 6,
+        "b7": 7, "b8": 8,
+        "h11": 11, "h14": 14, "h15": 15, "h17": 17, "h18": 18, "h20": 20,
+        "detect": 21,
+    },
 }
 TOP_MODULES = TOP_MODULES_BY_FAMILY["yolo11"]  # backwards-compat alias
 
@@ -65,6 +73,7 @@ _LEAF = {
     "bias": "bias",
     "mean": "running_mean",
     "var": "running_var",
+    "gamma": "gamma",     # A2C2f residual scale (YOLOv12 l/x)
 }
 
 # ultralytics keys that have no counterpart here (reported as skipped, not
@@ -72,8 +81,8 @@ _LEAF = {
 # is computed arithmetically, train/loss.py), Detect grid buffers.
 _SKIP_PATTERNS = [
     re.compile(r"\.num_batches_tracked$"),
-    re.compile(r"^2[23]\.dfl\."),
-    re.compile(r"^2[23]\.(stride|strides|anchors|shape)$"),
+    re.compile(r"^2[123]\.dfl\."),
+    re.compile(r"^2[123]\.(stride|strides|anchors|shape)$"),
 ]
 
 
@@ -91,9 +100,15 @@ def _translate_segment(seg: str, in_detect: bool) -> List[str]:
             return ["cv3", m.group(1), m.group(2)]
     if seg == "dw":  # our DWConv wraps a ConvBN named "dw"; ultralytics DWConv IS the Conv
         return []
+    m = re.fullmatch(r"m(\d+)_blk(\d+)", seg)
+    if m:  # A2C2f ABlock j inside inner Sequential i -> m.{i}.{j}
+        return ["m", m.group(1), m.group(2)]
     m = re.fullmatch(r"m(\d+)", seg)
     if m:  # our m{i} == ultralytics ModuleList m.{i}
         return ["m", m.group(1)]
+    m = re.fullmatch(r"mlp(\d)", seg)
+    if m:  # ABlock mlp Sequential
+        return ["mlp", m.group(1)]
     m = re.fullmatch(r"ffn(\d)", seg)
     if m:  # PSABlock ffn Sequential
         return ["ffn", m.group(1)]
@@ -120,7 +135,13 @@ def ultralytics_key_map(variables) -> List[Tuple[str, Tuple[str, ...], str, bool
                 key = ".".join(segs + [_LEAF[k]])
                 entries.append((coll, path + (k,), key, k == "kernel"))
 
-    family = "yolo11" if "b10" in (variables.get("params") or {}) else "yolov8"
+    tree_params = variables.get("params") or {}
+    if "h11" in tree_params:
+        family = "yolo12"
+    elif "b10" in tree_params:
+        family = "yolo11"
+    else:
+        family = "yolov8"
     top_modules = TOP_MODULES_BY_FAMILY[family]
     for coll in ("params", "batch_stats"):
         tree = variables.get(coll)
@@ -371,17 +392,20 @@ def infer_arch(sd: Dict[str, Any]) -> Tuple[str, str, int]:
     """Infer (family, scale, nc) from a normalized ultralytics state dict.
 
     The Detect module index distinguishes the family (YOLO11: 23, YOLOv8:
-    22 — v8 has no C2PSA stage); the stem width gives the scale.
+    22, YOLOv12: 21 — v8 has no C2PSA stage, v12 additionally drops SPPF);
+    the stem width gives the scale.
     """
     sd, _ = normalize_keys(dict(sd))
     if "23.cv3.0.2.bias" in sd:
         family, detect = "yolo11", 23
     elif "22.cv3.0.2.bias" in sd:
         family, detect = "yolov8", 22
+    elif "21.cv3.0.2.bias" in sd:
+        family, detect = "yolo12", 21
     else:
         raise ValueError(
-            "not a YOLO11/YOLOv8 detection state dict (no Detect cls bias "
-            "at module index 22 or 23)"
+            "not a YOLO11/YOLOv8/YOLOv12 detection state dict (no Detect "
+            "cls bias at module index 21, 22, or 23)"
         )
     try:
         nc = int(sd[f"{detect}.cv3.0.2.bias"].shape[0])
@@ -394,6 +418,7 @@ def infer_arch(sd: Dict[str, Any]) -> Tuple[str, str, int]:
         if stem not in by_stem:
             raise ValueError(f"unrecognized yolov8 stem width {stem}")
         return family, by_stem[stem], nc
+    # yolo11 and yolo12 share the width/depth scale table
     if stem == 16:
         scale = "n"
     elif stem == 32:

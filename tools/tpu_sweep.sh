@@ -22,6 +22,8 @@ run bench_s         2400 python bench.py --scale s
 run bench_x         2400 python bench.py --scale x
 run bench_v8n       2400 python bench.py --model yolov8
 run bench_v8s       2400 python bench.py --model yolov8 --scale s
+run bench_v12n      2400 python bench.py --model yolo12
+run bench_v12s      2400 python bench.py --model yolo12 --scale s
 run probe_int8      1200 python tools/probe_int8.py
 run train_base      1800 python tools/bench_train.py --only full_step
 run train_bnbf16    1800 python tools/bench_train.py --only full_step --bn-bf16-stats
