@@ -205,6 +205,10 @@ class Engine:
         conf/iou would splinter batches, so they are engine-level here;
         pass at construction or use separate engines per threshold policy.
         """
+        if self._stop.is_set() and not self._threads:
+            # post-shutdown submits would otherwise queue forever with no
+            # dispatcher left to fail them
+            raise RuntimeError("engine is shut down")
         if conf is not None or iou is not None:
             # traced scalars are per-BATCH; honoring per-request values
             # inside a shared batch would re-run NMS per distinct pair.

@@ -49,7 +49,10 @@ class TrainConfig:
     data: str = ""
     epochs: int = 100
     imgsz: int = 640
-    batch: int = 16
+    batch: int = 16            # -1 = auto-select per HBM (train/autobatch.py)
+    # batch=-1 memory budget override in bytes (0 = ask the device backend,
+    # falling back to the v5e 16 GiB when it reports none)
+    auto_batch_bytes: int = 0
     device: str = ""           # mesh spec "8" / "4x2"; "" -> all devices DP
     amp: bool = True
     optimizer: str = "auto"
@@ -227,7 +230,7 @@ class Trainer:
         # machinery unless there are actually multiple chips.
         self.single_device = self.mesh.devices.size == 1
         n_data = self.mesh.shape["data"]
-        if config.batch % n_data != 0:
+        if config.batch > 0 and config.batch % n_data != 0:
             config.batch = max(n_data, config.batch // n_data * n_data)
 
         self.dtype = jnp.bfloat16 if config.amp else jnp.float32
@@ -235,6 +238,27 @@ class Trainer:
             self.family, self.scale, self.nc, dtype=self.dtype,
             remat=config.remat,
         )
+        if config.batch < 0:
+            # batch=-1: two AOT probe compiles size the per-device batch
+            # from XLA's own memory analysis (ultralytics autobatch analog)
+            from .autobatch import suggest_batch
+
+            probe_opt = OptimizerConfig(
+                name=config.optimizer, lr0=config.lr0, lrf=config.lrf,
+                momentum=config.momentum, weight_decay=config.weight_decay,
+                warmup_epochs=config.warmup_epochs, cos_lr=config.cos_lr,
+                epochs=config.epochs, steps_per_epoch=100,
+            )
+            probe_loss = LossConfig(
+                nc=self.nc, box_gain=config.box, cls_gain=config.cls,
+                dfl_gain=config.dfl, batch_scale=config.loss_batch_scale,
+            )
+            config.batch = n_data * suggest_batch(
+                self.model, self.nc, config.imgsz, dtype=self.dtype,
+                max_boxes=config.max_boxes, opt_cfg=probe_opt,
+                loss_cfg=probe_loss, fold_div=bool(config.fold_input_div),
+                limit_bytes=config.auto_batch_bytes or None,
+            )
 
         if config.device_augment is None:
             config.device_augment = (os.cpu_count() or 1) <= 2

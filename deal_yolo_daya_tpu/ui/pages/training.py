@@ -243,7 +243,10 @@ def render_training_platform():
     # -------------------------------------------------- hyperparameters
     st.markdown("**训练参数**")
     c1, c2, c3, c4 = st.columns(4)
-    model_path = c1.text_input("模型", value="yolo11n", key="train_model")
+    model_path = c1.text_input(
+        "模型", value="yolo11n", key="train_model",
+        help="支持 yolo11 / yolov8 / yolo12 系列 n-x（如 yolo12s、yolov8m.yaml）",
+    )
     project = c2.text_input("项目目录", value=str(PLATFORM_ROOT / "runs"), key="train_project")
     run_name = c3.text_input("运行名称", value="train", key="train_name")
     exist_ok = c4.checkbox("覆盖同名运行", value=False, key="train_exist_ok")
@@ -312,7 +315,8 @@ def render_training_platform():
              "device_augment、donate、profile_steps、cache_budget_gb、"
              "conf、iou、max_det、warmup_epochs、lr0、lrf、momentum、"
              "weight_decay、steps_per_dispatch（每次派发扫描K步）、"
-             "remat（大模型大分辨率时以算力换显存）、fold_input_div",
+             "remat（大模型大分辨率时以算力换显存）、fold_input_div；"
+             "batch=-1 时按 HBM 自动选批大小（auto_batch_bytes 可覆盖预算）",
     )
     env_text = st.text_input("环境变量（KEY=VALUE，分号分隔）", key="train_env")
 

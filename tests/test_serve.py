@@ -91,6 +91,9 @@ def test_shutdown_fails_queued_requests(handle):
     eng.shutdown()
     with pytest.raises(RuntimeError, match="shut down"):
         fut.result(timeout=10)
+    # post-shutdown submits must be rejected up front, not queued forever
+    with pytest.raises(RuntimeError, match="shut down"):
+        eng.submit(np.zeros((48, 64, 3), np.uint8))
 
 
 def test_http_frontend(handle, images):

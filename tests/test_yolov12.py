@@ -200,6 +200,20 @@ def test_from_ultralytics_v12_end_to_end(tmp_path):
     assert y.import_report["missing"] == [] and y.import_report["unused"] == []
 
 
+def test_int8_serving_path_v12():
+    """The post-training w8a8 path must hold for the attention family too
+    (qkv/proj/mlp 1x1 convs quantize; depthwise pe stays full precision)."""
+    from deal_yolo_daya_tpu.api import YOLO
+
+    y = YOLO("yolo12n", nc=3, imgsz=64)
+    y._ensure_built()
+    calib = [np.random.default_rng(0).integers(
+        0, 255, (64, 64, 3), dtype=np.uint8) for _ in range(2)]
+    y.quantize_int8(calib, batch_size=2)
+    r = y.predict(np.zeros((64, 64, 3), np.uint8))
+    assert len(r) == 1
+
+
 def test_trainer_builds_v12_and_export_roundtrip(tmp_path):
     from deal_yolo_daya_tpu.api import YOLO
 

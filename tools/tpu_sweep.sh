@@ -25,6 +25,7 @@ run bench_v8s       2400 python bench.py --model yolov8 --scale s
 run bench_v12n      2400 python bench.py --model yolo12
 run bench_v12s      2400 python bench.py --model yolo12 --scale s
 run probe_int8      1200 python tools/probe_int8.py
+run probe_autobatch 1800 python tools/probe_autobatch.py --scales n,s,x
 run train_base      1800 python tools/bench_train.py --only full_step
 run train_bnbf16    1800 python tools/bench_train.py --only full_step --bn-bf16-stats
 run train_folddiv   1800 python tools/bench_train.py --only full_step --fold-div
