@@ -145,6 +145,54 @@ def build_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformatio
     return opt
 
 
+def accumulate_gradients(
+    k: int, inner: optax.GradientTransformation
+) -> optax.GradientTransformation:
+    """torch-style gradient accumulation: SUM k micro-batch grads, apply the
+    inner transform once every k steps (ultralytics BaseTrainer cadence:
+    ``accumulate = max(round(nbs / batch), 1)``, grads adding across
+    backward() calls before one optimizer.step()).
+
+    Deliberately not optax.MultiSteps: that accumulates the MEAN, and its
+    inner step count advances per micro-step. Here grads SUM (exact torch
+    semantics — with loss_batch_scale=True the k-microbatch update equals
+    one nbs-sized batch update, BN statistics aside) and the inner state —
+    including schedule counts — only commits on boundary steps, so schedule
+    windows are in optimizer-step units (build the OptimizerConfig with
+    steps_per_epoch // k).
+    """
+    if k <= 1:
+        return inner
+
+    def init(params):
+        return (
+            jnp.zeros((), jnp.int32),                       # micro-steps
+            jax.tree_util.tree_map(jnp.zeros_like, params),  # grad sum
+            inner.init(params),
+        )
+
+    def update(grads, state, params=None):
+        mini, acc, inner_state = state
+        acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+        boundary = mini + 1 >= k
+        upd, new_inner = inner.update(acc, inner_state, params)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(boundary, u, jnp.zeros_like(u)), upd
+        )
+        new_state = (
+            jnp.where(boundary, 0, mini + 1),
+            jax.tree_util.tree_map(
+                lambda a: jnp.where(boundary, jnp.zeros_like(a), a), acc
+            ),
+            jax.tree_util.tree_map(
+                lambda n, o: jnp.where(boundary, n, o), new_inner, inner_state
+            ),
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def ema_update(ema_params, new_params, step: jnp.ndarray, decay: float = 0.9999):
     """EMA with warmup ramp: d = decay * (1 - exp(-step/2000))."""
     d = decay * (1 - jnp.exp(-jnp.asarray(step, jnp.float32) / 2000.0))

@@ -144,6 +144,13 @@ class TrainConfig:
     # (v8DetectionLoss) for 1:1 hyperparameter transfer; default keeps the
     # batch-invariant normalization (docs/PARITY.md "Loss scale semantics")
     loss_batch_scale: bool = False
+    # nominal batch size; >0 enables the ultralytics BaseTrainer cadence:
+    # SUM-accumulate round(nbs/batch) micro-batch grads per optimizer step
+    # and scale weight decay by batch*accumulate/nbs. With
+    # loss_batch_scale=True this is the exact upstream recipe (BN stats
+    # aside). 0 (default) = one optimizer step per batch, the recipe the
+    # synth-mAP yardstick was validated on.
+    nbs: int = 0
     # non-blocking orbax saves: device->host fetch and the filesystem commit
     # run in a background thread while training continues (orbax serializes
     # consecutive saves itself); flushed before train() returns
@@ -294,11 +301,26 @@ class Trainer:
             batch_scale=config.loss_batch_scale,
         )
         steps_per_epoch = max(len(self.train_loader), 1)
+        # nbs>0 = ultralytics BaseTrainer cadence: gradients SUM over
+        # accumulate=round(nbs/batch) micro-batches per optimizer step, and
+        # weight decay scales by batch*accumulate/nbs. Combined with
+        # loss_batch_scale=True this reproduces the upstream recipe exactly
+        # (BN statistics aside). Default 0 keeps the per-batch recipe the
+        # synth-mAP yardstick was validated on.
+        eff_wd = config.weight_decay
+        self.accumulate = 1
+        if config.nbs:
+            self.accumulate = max(round(config.nbs / config.batch), 1)
+            eff_wd = (config.weight_decay * config.batch * self.accumulate
+                      / config.nbs)
         self.opt_cfg = OptimizerConfig(
             name=config.optimizer, lr0=config.lr0, lrf=config.lrf,
-            momentum=config.momentum, weight_decay=config.weight_decay,
+            momentum=config.momentum, weight_decay=eff_wd,
             warmup_epochs=config.warmup_epochs, cos_lr=config.cos_lr,
-            epochs=config.epochs, steps_per_epoch=steps_per_epoch,
+            epochs=config.epochs,
+            # schedule windows are in optimizer-step units: the inner
+            # transform's counts only advance on accumulation boundaries
+            steps_per_epoch=max(steps_per_epoch // self.accumulate, 1),
         )
         self.lr_fn = lr_schedule(self.opt_cfg)
         self.lr_fn_bias = lr_schedule(
@@ -345,6 +367,12 @@ class Trainer:
             batch_stats = jax.device_put(variables["batch_stats"], rep)
             step0 = jax.device_put(jnp.zeros((), jnp.int32), rep)
         self.optimizer = build_optimizer(self.opt_cfg, params)
+        if self.accumulate > 1:
+            from .optimizer import accumulate_gradients
+
+            self.optimizer = accumulate_gradients(
+                self.accumulate, self.optimizer
+            )
         # opt/EMA leaves inherit param shardings through eager propagation
         opt_state = self.optimizer.init(params)
         self.state = TrainState(
@@ -363,6 +391,7 @@ class Trainer:
     def _build_steps(self):
         model, loss_cfg, imgsz = self.model, self.loss_cfg, self.cfg.imgsz
         optimizer = self.optimizer
+        acc_k = self.accumulate
         # single device: plain jit (sharding machinery is a 17x slowdown on
         # the axon backend); multi-device: mesh-annotated shardings
         data_sh = None if self.single_device else batch_sharding(self.mesh)
@@ -391,7 +420,20 @@ class Trainer:
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_step = state.step + 1
-            new_ema = ema_update(state.ema_params, new_params, new_step)
+            if acc_k > 1:
+                # ultralytics cadence: EMA moves once per OPTIMIZER step
+                # (its ramp counts optimizer steps), frozen between
+                # accumulation boundaries
+                boundary = new_step % acc_k == 0
+                cand = ema_update(
+                    state.ema_params, new_params, new_step // acc_k
+                )
+                new_ema = jax.tree_util.tree_map(
+                    lambda c, e: jnp.where(boundary, c, e),
+                    cand, state.ema_params,
+                )
+            else:
+                new_ema = ema_update(state.ema_params, new_params, new_step)
             new_state = TrainState(new_params, new_stats, new_opt, new_ema, new_step)
             # loss accumulation INSIDE the jit: the step loop must contain no
             # eager device ops at all (each costs a tunnel round-trip; an
@@ -1033,7 +1075,8 @@ class Trainer:
             if n_steps:
                 for k in losses:
                     losses[k] = float(loss_acc[k]) / n_steps
-            lr_now = float(self.lr_fn_host(self._step_host))
+            # schedule windows are in optimizer-step units under nbs cadence
+            lr_now = float(self.lr_fn_host(self._step_host // self.accumulate))
             t_stepsync = time.time()
 
             metrics = {"precision": 0.0, "recall": 0.0, "map50": 0.0, "map": 0.0}
@@ -1070,7 +1113,8 @@ class Trainer:
                 # pg0/pg1 = weight/BN groups (shared schedule), pg2 = bias
                 # group (warms down from warmup_bias_lr) — ultralytics layout
                 "lr/pg0": lr_now, "lr/pg1": lr_now,
-                "lr/pg2": float(self.lr_fn_bias_host(self._step_host)),
+                "lr/pg2": float(self.lr_fn_bias_host(
+                    self._step_host // self.accumulate)),
             })
 
             fit = fitness(metrics)

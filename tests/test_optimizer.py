@@ -78,3 +78,82 @@ def test_ema_update_ramp():
     assert float(late["w"][0]) < 0.01 + 1e-3 or float(late["w"][0]) == pytest.approx(
         1 - 0.9999, rel=0.1
     )
+
+
+def test_accumulate_gradients_sums_and_commits_on_boundary():
+    """SUM-accumulation parity: k micro-grads -> one inner update with their
+    sum (torch backward()-accumulation semantics, ultralytics cadence)."""
+    from deal_yolo_daya_tpu.train.optimizer import accumulate_gradients
+    import optax
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    inner = optax.sgd(0.1, momentum=0.9)
+    k = 3
+    wrapped = accumulate_gradients(k, inner)
+
+    rng = np.random.default_rng(0)
+    grads = [
+        {"w": jnp.asarray(rng.normal(size=4), jnp.float32),
+         "b": jnp.asarray(rng.normal(size=2), jnp.float32)}
+        for _ in range(2 * k)
+    ]
+
+    # reference: inner stepped once per k with the summed grad
+    ref_params, ref_state = params, inner.init(params)
+    for c in range(2):
+        gsum = jax.tree_util.tree_map(
+            lambda *g: sum(g), *grads[c * k:(c + 1) * k]
+        )
+        upd, ref_state = inner.update(gsum, ref_state, ref_params)
+        ref_params = optax.apply_updates(ref_params, upd)
+
+    p, s = params, wrapped.init(params)
+    seen = [jax.tree_util.tree_map(np.asarray, p)]
+    for g in grads:
+        upd, s = wrapped.update(g, s, p)
+        p = optax.apply_updates(p, upd)
+        seen.append(jax.tree_util.tree_map(np.asarray, p))
+
+    # params frozen off-boundary, moved exactly on boundaries
+    for i in (1, 2, 4, 5):
+        np.testing.assert_array_equal(seen[i]["w"], seen[i - 1]["w"])
+    for i in (3, 6):
+        assert not np.array_equal(seen[i]["w"], seen[i - 1]["w"])
+    np.testing.assert_allclose(p["w"], ref_params["w"], rtol=1e-6)
+    np.testing.assert_allclose(p["b"], ref_params["b"], rtol=1e-6)
+
+
+def test_accumulate_gradients_k1_is_identity():
+    from deal_yolo_daya_tpu.train.optimizer import accumulate_gradients
+    import optax
+
+    inner = optax.sgd(0.1)
+    assert accumulate_gradients(1, inner) is inner
+
+
+def test_accumulate_schedule_counts_optimizer_steps():
+    """Schedules inside the inner transform must advance once per COMMIT,
+    not per micro-step (windows are in optimizer-step units)."""
+    from deal_yolo_daya_tpu.train.optimizer import accumulate_gradients
+    import optax
+
+    lrs = []
+
+    def sched(count):
+        lrs.append(1)  # traced once; we check via param deltas instead
+        return 1.0 / (1.0 + count)
+
+    params = {"w": jnp.zeros((1,))}
+    inner = optax.sgd(sched)
+    wrapped = accumulate_gradients(2, inner)
+    g = {"w": jnp.ones((1,))}
+    p, s = params, wrapped.init(params)
+    deltas = []
+    for _ in range(4):
+        upd, s = wrapped.update(g, s, p)
+        deltas.append(float(upd["w"][0]))
+        p = optax.apply_updates(p, upd)
+    # commits at micro-steps 2 and 4: lr(0)*sum=2.0 then lr(1)*sum=1.0
+    assert deltas[0] == 0.0 and deltas[2] == 0.0
+    np.testing.assert_allclose(deltas[1], -2.0, rtol=1e-6)
+    np.testing.assert_allclose(deltas[3], -1.0, rtol=1e-6)

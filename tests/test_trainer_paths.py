@@ -201,3 +201,48 @@ def test_trainer_on_multi_device_mesh(tmp_path):
     df = pd.read_csv(Path(result["save_dir"]) / "results.csv")
     assert np.isfinite(df["train/cls_loss"].values).all()
     assert (Path(result["save_dir"]) / "weights" / "last").exists()
+
+
+def test_nbs_cadence_accumulates_and_scales_wd(tmp_path):
+    """nbs=64, batch=8 -> accumulate 8: params and EMA move only on
+    optimizer-step boundaries; weight decay stays at wd*batch*acc/nbs."""
+    import jax
+    import numpy as np
+
+    data_yaml = make_dataset(tmp_path, n_train=8, n_val=4, imgsz=64, nc=2)
+    from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model="yolo11n", data=str(data_yaml), epochs=1, imgsz=64, batch=8,
+        amp=False, close_mosaic=0, project=str(tmp_path / "runs"), name="nbs",
+        seed=0, max_boxes=16, warmup_epochs=0.5, workers=0,
+        device_augment=False, val=False, nbs=64, loss_batch_scale=True,
+    )
+    trainer = Trainer(cfg)
+    assert trainer.accumulate == 8
+    # wd * batch * accumulate / nbs == wd here (8*8/64)
+    assert trainer.opt_cfg.weight_decay == pytest.approx(cfg.weight_decay)
+
+    def leaf(tree):
+        return np.asarray(tree["b0"]["conv"]["kernel"])
+
+    batch = next(trainer.train_loader.epoch(0, n_workers=1))
+    state = trainer.state
+    acc = trainer.zero_loss_acc()
+    p0, e0 = leaf(state.params), leaf(state.ema_params)
+    # first micro-step: no optimizer commit -> params and EMA frozen
+    state, _, acc = trainer.train_step(
+        state, acc, batch.images, batch.gt_boxes, batch.gt_classes,
+        batch.gt_mask,
+    )
+    np.testing.assert_array_equal(leaf(state.params), p0)
+    np.testing.assert_array_equal(leaf(state.ema_params), e0)
+    # seven more micro-steps reach the boundary: both must move
+    for _ in range(7):
+        state, _, acc = trainer.train_step(
+            state, acc, batch.images, batch.gt_boxes, batch.gt_classes,
+            batch.gt_mask,
+        )
+    assert not np.array_equal(leaf(state.params), p0)
+    assert not np.array_equal(leaf(state.ema_params), e0)
+    assert int(jax.device_get(state.step)) == 8
