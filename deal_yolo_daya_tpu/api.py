@@ -70,6 +70,8 @@ class YOLO:
         self.names: List[str] = [str(i) for i in range(nc)]
         self._model = None
         self._variables = None
+        self._weights_loaded = False  # True after load/from_ultralytics/
+                                      # from_export: train() fine-tunes
         self.trainer = None
         ckpt = Path(self.model_spec)
         if ckpt.exists() and ckpt.is_dir():
@@ -118,6 +120,7 @@ class YOLO:
         self._ensure_built()
         self._variables, report = import_state_dict(sd, self._variables)
         self.import_report = report
+        self._weights_loaded = True
         names = meta.get("names")
         if names:
             self.names = [names.get(i, str(i)) for i in range(nc)]
@@ -151,6 +154,7 @@ class YOLO:
             "params": params,
             "batch_stats": ckpt["batch_stats"],
         }
+        self._weights_loaded = True
         return self
 
     # ------------------------------------------------------------------ train
@@ -165,7 +169,10 @@ class YOLO:
                 setattr(cfg, k, v)
             else:
                 cfg.extra[k] = v
-        self.trainer = Trainer(cfg)
+        # fine-tune when weights were explicitly loaded (from_ultralytics /
+        # load / from_export); a fresh spec trains from random init
+        init_vars = self._variables if self._weights_loaded else None
+        self.trainer = Trainer(cfg, init_variables=init_vars)
         result = self.trainer.train()
         # adopt trained EMA weights + class names for subsequent predict()
         self.nc = self.trainer.nc
@@ -179,6 +186,7 @@ class YOLO:
             "batch_stats": jax.device_get(self.trainer.state.batch_stats),
         }
         self.save_dir = result["save_dir"]
+        self._weights_loaded = True  # a further train() continues from these
         return result
 
     # ---------------------------------------------------------------- predict
@@ -497,6 +505,7 @@ class YOLO:
         model._ensure_built()
         with ocp.PyTreeCheckpointer() as ckptr:
             model._variables = ckptr.restore(bundle_dir / "variables")
+        model._weights_loaded = True
         if meta.get("int8"):
             import jax.numpy as jnp
 

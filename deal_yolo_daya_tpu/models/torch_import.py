@@ -218,7 +218,7 @@ def import_state_dict(
     new = {
         coll: _mutable(variables[coll]) for coll in ("params", "batch_stats")
     }
-    used, missing = set(skipped), []
+    used, missing, shape_mismatch = set(skipped), [], []
     for coll, path, key, is_kernel in entries:
         if key not in sd:
             missing.append(key)
@@ -232,16 +232,23 @@ def import_state_dict(
             node = node[seg]
         want = np.shape(node[path[-1]])
         if tuple(arr.shape) != tuple(want):
-            raise ValueError(
-                f"shape mismatch for {key} -> {coll}/{'/'.join(path)}: "
-                f"checkpoint {arr.shape} vs model {want}"
-            )
+            if strict:
+                raise ValueError(
+                    f"shape mismatch for {key} -> {coll}/{'/'.join(path)}: "
+                    f"checkpoint {arr.shape} vs model {want}"
+                )
+            # transfer-learning intersect load (ultralytics' behavior when
+            # fine-tuning onto a different nc): keep the fresh init for
+            # mismatched leaves, report them
+            shape_mismatch.append(key)
+            continue
         node[path[-1]] = arr.astype(np.float32)
     unused = sorted(set(sd) - used)
     report = {
         "missing": missing, "unused": unused, "skipped": sorted(skipped),
         "fused": fused, "dropped": dropped,
-        "imported": len(entries) - len(missing),
+        "shape_mismatch": shape_mismatch,
+        "imported": len(entries) - len(missing) - len(shape_mismatch),
     }
     if strict and missing:
         raise ValueError(

@@ -151,6 +151,13 @@ class TrainConfig:
     # aside). 0 (default) = one optimizer step per batch, the recipe the
     # synth-mAP yardstick was validated on.
     nbs: int = 0
+    single_cls: bool = False   # collapse all annotations to one class
+    fraction: float = 1.0      # train on the leading fraction of the set
+    # freeze the first N modules (ultralytics layer indices; Detect never
+    # freezes): stop_gradient prunes their backward, updates are zeroed so
+    # weight decay cannot drift them; BN running stats still update (the
+    # torch requires_grad=False default this mirrors)
+    freeze: int = 0
     # non-blocking orbax saves: device->host fetch and the filesystem commit
     # run in a background thread while training continues (orbax serializes
     # consecutive saves itself); flushed before train() returns
@@ -208,7 +215,8 @@ def bucket_gt(gt_boxes, gt_classes, gt_mask, max_boxes: int, min_bucket: int = 4
 
 
 class Trainer:
-    def __init__(self, config: TrainConfig, mesh=None, eval_apply=None):
+    def __init__(self, config: TrainConfig, mesh=None, eval_apply=None,
+                 init_variables=None):
         self.cfg = config
         self._dev_cache = None
         self._val_staged = None
@@ -216,7 +224,20 @@ class Trainer:
         # used by api.val(int8=True) to score the quantized serving path
         # with the exact same metrics pipeline
         self._eval_apply = eval_apply
-        self.family, self.scale = parse_model_spec(config.model)
+        # fine-tuning: a .pt model spec (the reference UI's 模型 field takes
+        # trained ultralytics checkpoints, core/training.py:63) loads its
+        # weights and infers the architecture; api.train passes already-
+        # loaded Flax variables via init_variables instead
+        self._init_variables = init_variables
+        self._pretrained_sd = None
+        model_path = Path(str(config.model))
+        if str(config.model).endswith(".pt") and model_path.exists():
+            from ..models.torch_import import infer_arch, read_torch_checkpoint
+
+            self._pretrained_sd, _pre_meta = read_torch_checkpoint(model_path)
+            self.family, self.scale, _ = infer_arch(self._pretrained_sd)
+        else:
+            self.family, self.scale = parse_model_spec(config.model)
         self.train_ds = YoloDataset.from_yaml(config.data, "train")
         self.val_ds = YoloDataset.from_yaml(config.data, "val")
         if config.cache and config.cache != "device":
@@ -224,6 +245,21 @@ class Trainer:
             self.val_ds.enable_cache()
         if len(self.val_ds) == 0:
             self.val_ds = self.train_ds
+        if config.fraction < 1.0:
+            # ultralytics `fraction`: train on the leading fraction
+            n = max(1, round(len(self.train_ds) * config.fraction))
+            self.train_ds.images = self.train_ds.images[:n]
+            self.train_ds.labels = self.train_ds.labels[:n]
+        if config.single_cls:
+            # ultralytics `single_cls`: collapse all annotations to class 0
+            for ds in {id(d): d for d in (self.train_ds, self.val_ds)}.values():
+                ds.labels = [
+                    np.concatenate(
+                        [np.zeros_like(lab[:, :1]), lab[:, 1:]], axis=1
+                    ) if len(lab) else lab
+                    for lab in ds.labels
+                ]
+                ds.names = ["item"]  # the upstream single_cls class name
         self.nc = max(self.train_ds.nc, 1)
         self.names = self.train_ds.names or [str(i) for i in range(self.nc)]
 
@@ -348,6 +384,7 @@ class Trainer:
         variables = jax.jit(lambda k: self.model.init(k, dummy, train=False))(
             jax.random.PRNGKey(cfg.seed)
         )
+        variables = self._apply_pretrained(variables)
         if self.single_device:
             params = variables["params"]
             self._param_sh = None
@@ -388,6 +425,49 @@ class Trainer:
         if cfg.resume:
             self._try_resume()
 
+    def _apply_pretrained(self, variables):
+        """Overlay pretrained weights (a .pt state dict from the model spec,
+        or Flax variables from api.train) onto the fresh init. Leaves whose
+        shapes differ (e.g. the cls head under a new nc) keep their fresh
+        init — the ultralytics intersect-load transfer behavior."""
+        if self._pretrained_sd is not None:
+            from ..models.torch_import import import_state_dict
+
+            variables, report = import_state_dict(
+                self._pretrained_sd, variables, strict=False
+            )
+            print(f"从 {self.cfg.model} 迁移 {report['imported']} 个参数"
+                  + (f"（{len(report['shape_mismatch'])} 个形状不符，"
+                     f"保留随机初始化）" if report["shape_mismatch"] else ""))
+            self.import_report = report
+            return variables
+
+        if self._init_variables is None:
+            return variables
+        moved = skipped = 0
+
+        def overlay(dst, src):
+            nonlocal moved, skipped
+            if hasattr(dst, "items"):
+                src = src if hasattr(src, "get") else {}
+                return {k: (overlay(v, src[k]) if k in src else v)
+                        for k, v in dst.items()}
+            if src is None:
+                return dst
+            if np.shape(dst) == np.shape(src):
+                moved += 1
+                return np.asarray(src)
+            skipped += 1
+            return dst
+
+        out = {}
+        for coll, tree in variables.items():
+            src = self._init_variables.get(coll)
+            out[coll] = overlay(tree, src) if src is not None else tree
+        print(f"迁移已加载权重：{moved} 个参数"
+              + (f"（{skipped} 个形状不符，保留随机初始化）" if skipped else ""))
+        return out
+
     def _build_steps(self):
         model, loss_cfg, imgsz = self.model, self.loss_cfg, self.cfg.imgsz
         optimizer = self.optimizer
@@ -398,12 +478,30 @@ class Trainer:
 
         fold_div = bool(self.cfg.fold_input_div)
 
+        frozen_tops: Tuple[str, ...] = ()
+        if self.cfg.freeze:
+            from ..models.torch_import import TOP_MODULES_BY_FAMILY
+
+            idx = TOP_MODULES_BY_FAMILY[self.family]
+            frozen_tops = tuple(
+                name for name, i in idx.items()
+                if i < int(self.cfg.freeze) and name != "detect"
+            )
+
         def train_step(state: TrainState, loss_acc, images, gt_boxes, gt_classes, gt_mask):
             x = images.astype(self.dtype)
             if not fold_div:
                 x = x / 255.0
 
             def loss_fn(params):
+                if frozen_tops:
+                    # stop_gradient prunes the frozen modules' kernel-grad
+                    # computations from the backward program entirely
+                    params = {
+                        k: (jax.lax.stop_gradient(v) if k in frozen_tops
+                            else v)
+                        for k, v in params.items()
+                    }
                 p = scale_stem_kernel(params, 1.0 / 255.0) if fold_div else params
                 (box, cls), mutated = model.apply(
                     {"params": p, "batch_stats": state.batch_stats},
@@ -418,6 +516,14 @@ class Trainer:
                 loss_fn, has_aux=True
             )(state.params)
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            if frozen_tops:
+                # grads are already zero via stop_gradient; zeroing the
+                # UPDATES too keeps weight decay from drifting frozen params
+                updates = {
+                    k: (jax.tree_util.tree_map(jnp.zeros_like, u)
+                        if k in frozen_tops else u)
+                    for k, u in updates.items()
+                }
             new_params = optax.apply_updates(state.params, updates)
             new_step = state.step + 1
             if acc_k > 1:

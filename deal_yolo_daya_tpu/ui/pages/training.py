@@ -245,7 +245,8 @@ def render_training_platform():
     c1, c2, c3, c4 = st.columns(4)
     model_path = c1.text_input(
         "模型", value="yolo11n", key="train_model",
-        help="支持 yolo11 / yolov8 / yolo12 系列 n-x（如 yolo12s、yolov8m.yaml）",
+        help="支持 yolo11 / yolov8 / yolo12 系列 n-x（如 yolo12s、"
+             "yolov8m.yaml），或已训练的 best.pt 路径（微调）",
     )
     project = c2.text_input("项目目录", value=str(PLATFORM_ROOT / "runs"), key="train_project")
     run_name = c3.text_input("运行名称", value="train", key="train_name")
