@@ -108,10 +108,18 @@ def main():
         # Default ~5 attempts x 180 s + backoffs ≈ 27 min worst case; the
         # inter-attempt sleeps are env-tunable (comma-separated seconds,
         # last entry 0) so a driver with a tight budget can shrink it.
-        sched = tuple(
-            int(s) for s in
-            os.environ.get("DYD_PROBE_SCHEDULE", "60,120,240,300,0").split(",")
-        )
+        default_sched = (60, 120, 240, 300, 0)
+        try:
+            sched = tuple(
+                int(s) for s in
+                os.environ.get("DYD_PROBE_SCHEDULE", "").replace(" ", "")
+                .split(",") if s != ""
+            ) or default_sched
+        except ValueError:
+            # a malformed env var must not break the one-JSON-line contract
+            print("[bench] ignoring malformed DYD_PROBE_SCHEDULE",
+                  file=sys.stderr)
+            sched = default_sched
         ok = False
         for i, wait in enumerate(sched):
             ok = _probe_once(180)

@@ -53,7 +53,9 @@ class Detections:
 
 
 class YOLO:
-    """TPU-native YOLO model handle (families: yolo11, yolov8).
+    """TPU-native YOLO model handle (families: yolo11, yolov8, yolo12;
+    also accepts trained checkpoints — an ultralytics .pt path or an orbax
+    weights dir — and loads them).
 
     >>> model = YOLO("yolo11n")
     >>> model.train(data="data.yaml", epochs=10, imgsz=640)
@@ -74,7 +76,15 @@ class YOLO:
                                       # from_export: train() fine-tunes
         self.trainer = None
         ckpt = Path(self.model_spec)
-        if ckpt.exists() and ckpt.is_dir():
+        if self.model_spec.endswith(".pt"):
+            # the ultralytics YOLO('best.pt') surface: load the weights now
+            # (a silent random-init fallback would return garbage detections)
+            if not ckpt.exists():
+                raise FileNotFoundError(f"模型权重文件不存在：{model}")
+            loaded = YOLO.from_ultralytics(ckpt, imgsz=imgsz)
+            self.__dict__.update(loaded.__dict__)
+            self.model_spec = str(model)  # keep the user's spec for args.yaml
+        elif ckpt.exists() and ckpt.is_dir():
             self.load(ckpt)
 
     # ------------------------------------------------------------------ build

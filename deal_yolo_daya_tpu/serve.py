@@ -187,14 +187,17 @@ class Engine:
         self._stop.set()
         for t in self._threads:
             t.join(timeout=timeout)
-        self._threads.clear()
-        # fail anything still queued so clients don't hang
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            req.future.set_exception(RuntimeError("engine shut down"))
+        # under the lock, so a submit() racing the guard either lands its
+        # request before this drain (and gets failed here) or sees the
+        # cleared thread list and raises — never an unwatched queue entry
+        with self._lock:
+            self._threads.clear()
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                req.future.set_exception(RuntimeError("engine shut down"))
 
     def submit(self, image: np.ndarray, conf: Optional[float] = None,
                iou: Optional[float] = None) -> Future:
@@ -205,10 +208,6 @@ class Engine:
         conf/iou would splinter batches, so they are engine-level here;
         pass at construction or use separate engines per threshold policy.
         """
-        if self._stop.is_set() and not self._threads:
-            # post-shutdown submits would otherwise queue forever with no
-            # dispatcher left to fail them
-            raise RuntimeError("engine is shut down")
         if conf is not None or iou is not None:
             # traced scalars are per-BATCH; honoring per-request values
             # inside a shared batch would re-run NMS per distinct pair.
@@ -224,8 +223,13 @@ class Engine:
         fut: Future = Future()
         req = _Request(image, canvas, r, pad, fut, time.perf_counter())
         with self._lock:
+            if self._stop.is_set() and not self._threads:
+                # post-shutdown submits would otherwise queue forever with
+                # no dispatcher left to fail them; guard+put share the lock
+                # with shutdown's drain, so no request can slip between
+                raise RuntimeError("engine is shut down")
             self._stats.requests += 1
-        self._queue.put(req)
+            self._queue.put(req)
         return fut
 
     def stats(self) -> Dict[str, float]:

@@ -62,6 +62,7 @@ def probe_step_bytes(
     opt_cfg=None,
     loss_cfg=None,
     fold_div: bool = False,
+    accumulate: bool = False,
 ) -> float:
     """AOT-compile one representative train step at `batch` and return the
     executable's total HBM need (args + outputs + temps) in bytes."""
@@ -84,6 +85,13 @@ def probe_step_bytes(
     params = variables["params"]
     stats = variables["batch_stats"]
     optimizer = build_optimizer(opt_cfg, params)
+    if accumulate:
+        # the nbs cadence wraps the optimizer in accumulate_gradients whose
+        # state carries one extra param-sized grad buffer; its memory
+        # footprint is k-independent, so probing with k=2 models any k
+        from .optimizer import accumulate_gradients
+
+        optimizer = accumulate_gradients(2, optimizer)
     opt_state = jax.eval_shape(optimizer.init, params)
 
     def train_step(params, stats, opt_state, ema, step, loss_acc,
@@ -163,6 +171,7 @@ def suggest_batch(
     opt_cfg=None,
     loss_cfg=None,
     fold_div: bool = False,
+    accumulate: bool = False,
     limit_bytes: Optional[float] = None,
     fraction: float = 0.8,
     cap: int = 1024,
@@ -183,6 +192,7 @@ def suggest_batch(
             probe_step_bytes(
                 model, nc, imgsz, b, dtype=dtype, max_boxes=max_boxes,
                 opt_cfg=opt_cfg, loss_cfg=loss_cfg, fold_div=fold_div,
+                accumulate=accumulate,
             )
             for b in probe
         )

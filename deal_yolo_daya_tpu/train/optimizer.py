@@ -146,7 +146,7 @@ def build_optimizer(cfg: OptimizerConfig, params) -> optax.GradientTransformatio
 
 
 def accumulate_gradients(
-    k: int, inner: optax.GradientTransformation
+    k: int, inner: optax.GradientTransformation, mean: bool = False
 ) -> optax.GradientTransformation:
     """torch-style gradient accumulation: SUM k micro-batch grads, apply the
     inner transform once every k steps (ultralytics BaseTrainer cadence:
@@ -160,6 +160,10 @@ def accumulate_gradients(
     including schedule counts — only commits on boundary steps, so schedule
     windows are in optimizer-step units (build the OptimizerConfig with
     steps_per_epoch // k).
+
+    ``mean=True`` divides the committed sum by k — use when the loss is
+    batch-mean normalized (loss_batch_scale=False), where a raw SUM would
+    silently multiply the effective learning rate by k.
     """
     if k <= 1:
         return inner
@@ -175,7 +179,10 @@ def accumulate_gradients(
         mini, acc, inner_state = state
         acc = jax.tree_util.tree_map(jnp.add, acc, grads)
         boundary = mini + 1 >= k
-        upd, new_inner = inner.update(acc, inner_state, params)
+        committed = (
+            jax.tree_util.tree_map(lambda a: a / k, acc) if mean else acc
+        )
+        upd, new_inner = inner.update(committed, inner_state, params)
         updates = jax.tree_util.tree_map(
             lambda u: jnp.where(boundary, u, jnp.zeros_like(u)), upd
         )

@@ -230,8 +230,12 @@ class Trainer:
         # loaded Flax variables via init_variables instead
         self._init_variables = init_variables
         self._pretrained_sd = None
-        model_path = Path(str(config.model))
-        if str(config.model).endswith(".pt") and model_path.exists():
+        if str(config.model).endswith(".pt"):
+            model_path = Path(str(config.model))
+            if not model_path.exists():
+                raise FileNotFoundError(
+                    f"模型权重文件不存在：{config.model}"
+                )
             from ..models.torch_import import infer_arch, read_torch_checkpoint
 
             self._pretrained_sd, _pre_meta = read_torch_checkpoint(model_path)
@@ -300,6 +304,7 @@ class Trainer:
                 self.model, self.nc, config.imgsz, dtype=self.dtype,
                 max_boxes=config.max_boxes, opt_cfg=probe_opt,
                 loss_cfg=probe_loss, fold_div=bool(config.fold_input_div),
+                accumulate=bool(config.nbs),
                 limit_bytes=config.auto_batch_bytes or None,
             )
 
@@ -347,6 +352,13 @@ class Trainer:
         self.accumulate = 1
         if config.nbs:
             self.accumulate = max(round(config.nbs / config.batch), 1)
+            total_steps = steps_per_epoch * max(config.epochs, 1)
+            if self.accumulate > total_steps:
+                # a window larger than the whole run would mean ZERO
+                # optimizer commits — clamp and say so
+                print(f"nbs={config.nbs}: 累积窗口 {self.accumulate} 超过总步数 "
+                      f"{total_steps}，已收紧为 {total_steps}")
+                self.accumulate = total_steps
             eff_wd = (config.weight_decay * config.batch * self.accumulate
                       / config.nbs)
         self.opt_cfg = OptimizerConfig(
@@ -407,8 +419,12 @@ class Trainer:
         if self.accumulate > 1:
             from .optimizer import accumulate_gradients
 
+            # mean-normalize the window under the default batch-mean loss;
+            # raw SUM there would silently scale the effective lr by k
+            # (the torch-exact SUM applies with loss_batch_scale=True)
             self.optimizer = accumulate_gradients(
-                self.accumulate, self.optimizer
+                self.accumulate, self.optimizer,
+                mean=not self.cfg.loss_batch_scale,
             )
         # opt/EMA leaves inherit param shardings through eager propagation
         opt_state = self.optimizer.init(params)
@@ -429,8 +445,12 @@ class Trainer:
         """Overlay pretrained weights (a .pt state dict from the model spec,
         or Flax variables from api.train) onto the fresh init. Leaves whose
         shapes differ (e.g. the cls head under a new nc) keep their fresh
-        init — the ultralytics intersect-load transfer behavior."""
-        if self._pretrained_sd is not None:
+        init — the ultralytics intersect-load transfer behavior.
+
+        Explicit init_variables take precedence over the .pt spec: a second
+        train() on a .pt-spec handle must continue from the CURRENT weights,
+        not silently restart from the original checkpoint."""
+        if self._init_variables is None and self._pretrained_sd is not None:
             from ..models.torch_import import import_state_dict
 
             variables, report = import_state_dict(

@@ -158,3 +158,49 @@ def test_single_cls_and_fraction(tmp_path):
             assert (lab[:, 0] == 0).all()
     # head is built for one class
     assert trainer.state.params["detect"]["cls0_2"]["bias"].shape == (1,)
+
+
+def test_missing_pt_spec_raises(tmp_path):
+    from deal_yolo_daya_tpu.api import YOLO
+    from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
+
+    with pytest.raises(FileNotFoundError):
+        YOLO(str(tmp_path / "bset.pt"))  # typo'd path must not random-init
+    data_yaml = make_dataset(tmp_path, n_train=4, n_val=0, imgsz=64, nc=2)
+    with pytest.raises(FileNotFoundError):
+        Trainer(TrainConfig(model=str(tmp_path / "none.pt"),
+                            data=str(data_yaml)))
+
+
+def test_yolo_pt_spec_loads_for_predict(tmp_path):
+    """YOLO('best.pt') must behave like from_ultralytics, not random-init."""
+    pt, src_vars = _crafted_pt(tmp_path, nc=4)
+    from deal_yolo_daya_tpu.api import YOLO
+
+    y = YOLO(str(pt), imgsz=64)
+    assert y._weights_loaded and (y.family, y.scale, y.nc) == ("yolo11", "n", 4)
+    np.testing.assert_array_equal(
+        np.asarray(y._variables["params"]["b0"]["conv"]["kernel"]),
+        _leaf(src_vars, "params", "b0", "conv", "kernel"),
+    )
+
+
+def test_init_variables_take_precedence_over_pt_spec(tmp_path):
+    """Second train() on a .pt-spec handle must continue from the CURRENT
+    weights (init_variables), not silently reload the original ckpt."""
+    data_yaml = make_dataset(tmp_path, n_train=8, n_val=4, imgsz=64, nc=2)
+    pt, _ = _crafted_pt(tmp_path, nc=2)
+    from deal_yolo_daya_tpu.models import build_detector
+    from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
+
+    _, current = build_detector("yolo11n", nc=2, imgsz=64, seed=99)
+    cfg = TrainConfig(
+        model=str(pt), data=str(data_yaml), epochs=1, imgsz=64, batch=4,
+        amp=False, project=str(tmp_path / "runs"), name="prec",
+        max_boxes=16, device_augment=False, val=False,
+    )
+    trainer = Trainer(cfg, init_variables=jax.device_get(current))
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(trainer.state.params["b0"]["conv"]["kernel"])),
+        _leaf(current, "params", "b0", "conv", "kernel"),
+    )

@@ -157,3 +157,22 @@ def test_accumulate_schedule_counts_optimizer_steps():
     assert deltas[0] == 0.0 and deltas[2] == 0.0
     np.testing.assert_allclose(deltas[1], -2.0, rtol=1e-6)
     np.testing.assert_allclose(deltas[3], -1.0, rtol=1e-6)
+
+
+def test_accumulate_gradients_mean_mode():
+    """mean=True: committed update equals the inner update on the MEAN of
+    the window (the batch-mean loss pairing; SUM would scale lr by k)."""
+    from deal_yolo_daya_tpu.train.optimizer import accumulate_gradients
+    import optax
+
+    params = {"w": jnp.ones((3,))}
+    inner = optax.sgd(0.5)
+    k = 4
+    wrapped = accumulate_gradients(k, inner, mean=True)
+    g = {"w": jnp.full((3,), 2.0)}
+    p, s = params, wrapped.init(params)
+    for _ in range(k):
+        upd, s = wrapped.update(g, s, p)
+        p = optax.apply_updates(p, upd)
+    # mean grad = 2.0 -> delta = -0.5*2.0 exactly once
+    np.testing.assert_allclose(p["w"], 1.0 - 1.0, rtol=1e-6)
