@@ -26,6 +26,34 @@ class Detections:
     def __len__(self):
         return len(self.boxes)
 
+    def to_records(self) -> List[Dict[str, Any]]:
+        """One dict per detection (the ultralytics Results.summary() shape):
+        name / class / confidence / box{x1,y1,x2,y2} in original pixels."""
+        out = []
+        for (x1, y1, x2, y2), s, c in zip(self.boxes, self.scores, self.classes):
+            c = int(c)
+            out.append({
+                "name": (self.names[c] if 0 <= c < len(self.names) else str(c)),
+                "class": c,
+                "confidence": round(float(s), 5),
+                "box": {"x1": round(float(x1), 2), "y1": round(float(y1), 2),
+                        "x2": round(float(x2), 2), "y2": round(float(y2), 2)},
+            })
+        return out
+
+    def to_json(self, **dumps_kwargs) -> str:
+        """JSON string of to_records() (ultralytics Results.to_json analog)."""
+        import json
+
+        return json.dumps(self.to_records(), ensure_ascii=False,
+                          **dumps_kwargs)
+
+    def to_df(self):
+        """pandas DataFrame of to_records() (Results.to_df analog)."""
+        import pandas as pd
+
+        return pd.DataFrame(self.to_records())
+
     def plot(self) -> np.ndarray:
         """Annotated copy of the image (red boxes + class/conf labels,
         CJK-capable font fallback like the pipeline visualizer)."""

@@ -140,3 +140,23 @@ def test_export_and_reload_roundtrip(tmp_path):
     assert len(before) == len(after)
     if len(before):
         np.testing.assert_allclose(before.boxes, after.boxes, atol=1.0)
+
+
+def test_detections_to_records_json_df():
+    from deal_yolo_daya_tpu.api import Detections
+
+    det = Detections(
+        path=None, image=np.zeros((32, 32, 3), np.uint8),
+        boxes=np.array([[1.0, 2.0, 10.0, 12.0], [3.0, 4.0, 8.0, 9.0]]),
+        scores=np.array([0.9, 0.5]), classes=np.array([1, 0]),
+        names=["猫", "dog"],
+    )
+    recs = det.to_records()
+    assert [r["name"] for r in recs] == ["dog", "猫"]
+    assert recs[0]["box"] == {"x1": 1.0, "y1": 2.0, "x2": 10.0, "y2": 12.0}
+    import json
+
+    parsed = json.loads(det.to_json())
+    assert parsed == recs and "猫" in det.to_json()
+    df = det.to_df()
+    assert list(df["confidence"]) == [0.9, 0.5]
