@@ -152,6 +152,7 @@ class TrainConfig:
     # synth-mAP yardstick was validated on.
     nbs: int = 0
     single_cls: bool = False   # collapse all annotations to one class
+    save_json: bool = False    # write COCO-format predictions.json at val
     fraction: float = 1.0      # train on the leading fraction of the set
     # freeze the first N modules (ultralytics layer indices; Detect never
     # freezes): stop_gradient prunes their backward, updates are zeroed so
@@ -1280,6 +1281,9 @@ class Trainer:
         det_metrics = DetMetrics(nc=self.nc)
         loss_parts: list = []
         cm_preds, cm_gts = [], []
+        # ultralytics save_json: COCO-format predictions (xywh boxes in
+        # original pixels, image_id from the filename stem)
+        json_records: Optional[list] = [] if cfg.save_json else None
         batches_saved = 0
         identity_inv = np.array([1.0, 0.0, 0.0, 1e9, 1e9], np.float32)
 
@@ -1324,6 +1328,21 @@ class Trainer:
                 m = gtm[i]
                 det_metrics.update(pb[i, :n], osc[i, :n], ocl[i, :n],
                                    gb[i][m], batch.gt_classes[i][: len(m)][m])
+                if json_records is not None:
+                    meta = batch.meta[i] if batch.meta else None
+                    stem = Path(meta[0]).stem if meta is not None else str(i)
+                    image_id = int(stem) if stem.isdigit() else stem
+                    for (x1, y1, x2, y2), s, c in zip(
+                        pb[i, :n], osc[i, :n], ocl[i, :n]
+                    ):
+                        json_records.append({
+                            "image_id": image_id,
+                            "category_id": int(c),
+                            "bbox": [round(float(x1), 3), round(float(y1), 3),
+                                     round(float(x2 - x1), 3),
+                                     round(float(y2 - y1), 3)],
+                            "score": round(float(s), 5),
+                        })
                 if save_artifacts:  # the confusion matrix only plots then
                     cm_preds.append((pb[i, :n], osc[i, :n], ocl[i, :n]))
                     cm_gts.append((gb[i][m], batch.gt_classes[i][: len(m)][m]))
@@ -1372,6 +1391,12 @@ class Trainer:
                     jnp.stack([p[k] for p in loss_parts]).sum()
                 ) / n_steps
         result = det_metrics.compute()
+        if json_records is not None:
+            import json as _json
+
+            out = self.run.path / "predictions.json"
+            out.write_text(_json.dumps(json_records), encoding="utf-8")
+            print(f"预测结果已保存：{out}")
         if save_artifacts:
             cm = confusion_matrix(cm_preds, cm_gts, self.nc)
             self.run.plot_confusion_matrix(cm, self.names)

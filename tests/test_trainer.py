@@ -123,3 +123,23 @@ def test_collect_run_dirs_contract(run_result):
 
     runs = collect_run_dirs(str(tmp_path / "runs"))
     assert Path(result["save_dir"]).resolve() in [Path(r) for r in runs]
+
+
+def test_val_save_json_writes_coco_predictions(run_result):
+    """save_json: COCO-format predictions.json (xywh original-pixel boxes,
+    filename-stem image ids) — the ultralytics val flag."""
+    import json
+
+    tmp_path, cfg, trainer, result = run_result
+    trainer.cfg.save_json = True
+    try:
+        trainer.validate()
+    finally:
+        trainer.cfg.save_json = False
+    out = Path(result["save_dir"]) / "predictions.json"
+    assert out.exists()
+    recs = json.loads(out.read_text())
+    assert isinstance(recs, list)
+    for r in recs[:5]:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        assert len(r["bbox"]) == 4 and r["bbox"][2] >= 0 and r["bbox"][3] >= 0
