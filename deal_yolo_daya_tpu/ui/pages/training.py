@@ -318,7 +318,8 @@ def render_training_platform():
              "weight_decay、steps_per_dispatch（每次派发扫描K步）、"
              "remat（大模型大分辨率时以算力换显存）、fold_input_div；"
              "batch=-1 时按 HBM 自动选批大小（auto_batch_bytes 可覆盖预算）；"
-             "nbs=64 启用 ultralytics 梯度累积节奏",
+             "nbs=64 启用 ultralytics 梯度累积节奏；freeze=N 冻结前 N 层；"
+             "single_cls、fraction、save_json 同 ultralytics 语义",
     )
     env_text = st.text_input("环境变量（KEY=VALUE，分号分隔）", key="train_env")
 
