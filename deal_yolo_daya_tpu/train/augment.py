@@ -38,6 +38,7 @@ class AugmentConfig:
     shear: float = 0.0
     fliplr: float = 0.5
     flipud: float = 0.0
+    bgr: float = 0.0
 
 
 def resize_keep_ratio(img: np.ndarray, target: int) -> Tuple[np.ndarray, float]:
@@ -206,4 +207,7 @@ def flips(
         if len(boxes):
             boxes = boxes.copy()
             boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+    if cfg.bgr > 0 and rng.random() < cfg.bgr:
+        # channel-swap aug (ultralytics `bgr`); geometry untouched
+        img = np.ascontiguousarray(img[..., ::-1])
     return img, boxes

@@ -39,6 +39,7 @@ class DeviceAugConfig(NamedTuple):
     hsv_v: float = 0.4
     fliplr: float = 0.5
     flipud: float = 0.0
+    bgr: float = 0.0
     # force the exact per-pixel gather resampler for rotation/shear instead
     # of the 2-pass shear/scale warp (tests + numerics comparisons)
     force_gather: bool = False
@@ -345,12 +346,14 @@ def _mosaic_one(
     return out, clipped, classes, keep
 
 
-def _flips_one(img, boxes, u_lr, u_ud, cfg: DeviceAugConfig):
+def _flips_one(img, boxes, u_lr, u_ud, u_bgr, cfg: DeviceAugConfig):
     s = img.shape[0]
     do_lr = u_lr < cfg.fliplr
     do_ud = u_ud < cfg.flipud
     img = jnp.where(do_lr, img[:, ::-1], img)
     img = jnp.where(do_ud, img[::-1], img)
+    if cfg.bgr > 0:  # channel-swap aug (ultralytics `bgr`), boxes unchanged
+        img = jnp.where(u_bgr < cfg.bgr, img[..., ::-1], img)
     flip_x = jnp.stack([s - boxes[:, 2], boxes[:, 1], s - boxes[:, 0], boxes[:, 3]], -1)
     boxes = jnp.where(do_lr, flip_x, boxes)
     flip_y = jnp.stack([boxes[:, 0], s - boxes[:, 3], boxes[:, 2], s - boxes[:, 1]], -1)
@@ -414,9 +417,9 @@ def augment_batch(
     out_imgs = jax.vmap(hsv_jitter_device)(out_imgs, gains)
 
     # flips
-    u_flip = jax.random.uniform(k_flip, (b, 2))
+    u_flip = jax.random.uniform(k_flip, (b, 3))
     out_imgs, out_boxes = jax.vmap(
-        lambda im, bx, u: _flips_one(im, bx, u[0], u[1], cfg)
+        lambda im, bx, u: _flips_one(im, bx, u[0], u[1], u[2], cfg)
     )(out_imgs, out_boxes, u_flip)
 
     # compact the 4M box slots: valid boxes first, then truncate to max_boxes

@@ -103,6 +103,7 @@ class TrainConfig:
     hsv_v: float = 0.4
     fliplr: float = 0.5
     flipud: float = 0.0
+    bgr: float = 0.0           # channel-swap augmentation probability
     scale: float = 0.5
     translate: float = 0.1
     degrees: float = 0.0
@@ -153,6 +154,7 @@ class TrainConfig:
     nbs: int = 0
     single_cls: bool = False   # collapse all annotations to one class
     save_json: bool = False    # write COCO-format predictions.json at val
+    time: float = 0.0          # max training wall-clock hours (0 = none)
     fraction: float = 1.0      # train on the leading fraction of the set
     # freeze the first N modules (ultralytics layer indices; Detect never
     # freezes): stop_gradient prunes their backward, updates are zeroed so
@@ -323,7 +325,7 @@ class Trainer:
             hsv_h=config.hsv_h, hsv_s=config.hsv_s,
             hsv_v=config.hsv_v, fliplr=config.fliplr, flipud=config.flipud,
             scale=config.scale, translate=config.translate, degrees=config.degrees,
-            shear=config.shear,
+            shear=config.shear, bgr=config.bgr,
         )
         self.train_loader = DataLoader(
             self.train_ds, config.batch, config.imgsz, augment=True,
@@ -597,6 +599,7 @@ class Trainer:
             shear=self.cfg.shear, hsv_h=self.cfg.hsv_h,
             hsv_s=self.cfg.hsv_s, hsv_v=self.cfg.hsv_v,
             fliplr=self.cfg.fliplr, flipud=self.cfg.flipud,
+            bgr=self.cfg.bgr,
         )
         if self.cfg.device_augment and max(
             abs(self.cfg.degrees), abs(self.cfg.shear)
@@ -1260,6 +1263,10 @@ class Trainer:
                 )
             if cfg.patience and epoch - best_epoch >= cfg.patience:
                 print(f"EarlyStopping: 最近 {cfg.patience} 个 epoch 无提升，提前停止")
+                break
+            if cfg.time and (time.time() - t0) > cfg.time * 3600:
+                # ultralytics `time`: wall-clock budget in hours
+                print(f"已达训练时长上限 {cfg.time}h，提前停止")
                 break
 
         self.flush_checkpoints()

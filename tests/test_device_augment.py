@@ -264,3 +264,21 @@ def test_warp_path_identity_affine_exact():
         np.asarray(out[0], np.float32), images[0].astype(np.float32), atol=2.0
     )
     np.testing.assert_allclose(np.asarray(ob[0, 0]), boxes[0, 0], atol=1e-2)
+
+
+def test_bgr_channel_swap():
+    """bgr=1: channels reverse, geometry (boxes/mask) identical to bgr=0."""
+    images, hw, boxes, classes, mask = _batch()
+    base = dict(scale=0.0, translate=0.0, hsv_h=0, hsv_s=0, hsv_v=0,
+                fliplr=0.0, flipud=0.0, mosaic=1.0)
+    out, ob, oc, om = augment_batch(
+        images, hw, boxes, classes, mask, jax.random.PRNGKey(0), S,
+        DeviceAugConfig(bgr=1.0, **base),
+    )
+    out2, ob2, oc2, om2 = augment_batch(
+        images, hw, boxes, classes, mask, jax.random.PRNGKey(0), S,
+        DeviceAugConfig(bgr=0.0, **base),
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2)[..., ::-1])
+    np.testing.assert_allclose(np.asarray(ob), np.asarray(ob2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(om), np.asarray(om2))

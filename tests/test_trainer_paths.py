@@ -246,3 +246,21 @@ def test_nbs_cadence_accumulates_and_scales_wd(tmp_path):
     assert not np.array_equal(leaf(state.params), p0)
     assert not np.array_equal(leaf(state.ema_params), e0)
     assert int(jax.device_get(state.step)) == 8
+
+
+def test_time_budget_stops_training(tmp_path, monkeypatch):
+    """cfg.time (hours): the epoch loop must stop once the wall budget is
+    spent instead of running all epochs."""
+    data_yaml = make_dataset(tmp_path, n_train=8, n_val=4, imgsz=64, nc=2)
+    from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model="yolo11n", data=str(data_yaml), epochs=50, imgsz=64, batch=4,
+        amp=False, close_mosaic=0, project=str(tmp_path / "runs"), name="tb",
+        max_boxes=16, device_augment=False, val=False, workers=0,
+        time=1e-9,  # ~microseconds of budget: stop after the first epoch
+    )
+    trainer = Trainer(cfg)
+    result = trainer.train()
+    df = pd.read_csv(Path(result["save_dir"]) / "results.csv")
+    assert len(df) < 50
