@@ -238,6 +238,8 @@ class YOLO:
         batch_size: int = 64,  # larger batches amortize per-call latency
                                # (b128 is 3x b32 through the axon tunnel —
                                # PERF.md round 2); short batches are padded
+        classes: Optional[Sequence[int]] = None,  # keep only these class ids
+        agnostic_nms: bool = False,
     ) -> List[Detections]:
         import jax
         import jax.numpy as jnp
@@ -272,29 +274,35 @@ class YOLO:
 
                 q_apply = quantized_apply(self._model, *quant)
 
-                def _infer(variables, images, conf_t, iou_t, max_det):
+                def _infer(variables, images, conf_t, iou_t, max_det,
+                           agnostic=False):
                     x = images.astype(jnp.bfloat16) / 255.0
                     box, cls = q_apply(x)  # calibrated convs run int8
                     boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
                     return batched_nms(
                         boxes, scores, conf_thres=conf_t, iou_thres=iou_t,
                         pre_topk=1000, max_det=max_det,
+                        class_agnostic=agnostic,
                     )
             else:
-                def _infer(variables, images, conf_t, iou_t, max_det):
+                def _infer(variables, images, conf_t, iou_t, max_det,
+                           agnostic=False):
                     x = images.astype(jnp.bfloat16) / 255.0
                     box, cls = self._model.apply(variables, x, train=False)
                     boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
                     return batched_nms(
                         boxes, scores, conf_thres=conf_t, iou_thres=iou_t,
                         pre_topk=1000, max_det=max_det,
+                        class_agnostic=agnostic,
                     )
-            self._infer_jit = jax.jit(_infer, static_argnames=("max_det",))
+            self._infer_jit = jax.jit(
+                _infer, static_argnames=("max_det", "agnostic")
+            )
 
         def infer(images):
             return self._infer_jit(
                 variables, images, jnp.float32(conf), jnp.float32(iou),
-                max_det=max_det,
+                max_det=max_det, agnostic=agnostic_nms,
             )
 
         results: List[Detections] = []
@@ -315,7 +323,12 @@ class YOLO:
             ob, osc, ocl, nd = map(np.asarray, infer(jnp.asarray(batch)))
             for i, (src, img, r, (px, py)) in enumerate(metas):
                 n = int(nd[i])
-                boxes = ob[i, :n].copy()
+                boxes, bsc, bcl = ob[i, :n].copy(), osc[i, :n], ocl[i, :n]
+                if classes is not None and n:
+                    # ultralytics `classes` filter: keep the listed ids only
+                    keep = np.isin(bcl, np.asarray(list(classes)))
+                    boxes, bsc, bcl = boxes[keep], bsc[keep], bcl[keep]
+                    n = len(boxes)
                 if n:
                     boxes -= [px, py, px, py]
                     boxes /= r
@@ -326,8 +339,8 @@ class YOLO:
                     path=str(src) if not isinstance(src, np.ndarray) else None,
                     image=img,
                     boxes=boxes,
-                    scores=osc[i, :n],
-                    classes=ocl[i, :n],
+                    scores=bsc,
+                    classes=bcl,
                     names=self.names,
                 ))
         return results

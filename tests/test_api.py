@@ -160,3 +160,16 @@ def test_detections_to_records_json_df():
     assert parsed == recs and "猫" in det.to_json()
     df = det.to_df()
     assert list(df["confidence"]) == [0.9, 0.5]
+
+
+def test_predict_classes_filter_and_agnostic_nms():
+    model = YOLO("yolo11n", nc=3, imgsz=64)
+    img = np.random.default_rng(2).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    allcls = model.predict(img, conf=0.001, max_det=20)[0]
+    only0 = model.predict(img, conf=0.001, max_det=20, classes=[0])[0]
+    assert (np.asarray(only0.classes) == 0).all()
+    n0 = int((np.asarray(allcls.classes) == 0).sum())
+    assert len(only0) == n0
+    # agnostic NMS suppresses across classes -> never MORE detections
+    agn = model.predict(img, conf=0.001, max_det=20, agnostic_nms=True)[0]
+    assert len(agn) <= len(allcls)
