@@ -22,6 +22,7 @@ class Detections:
         self.scores = scores          # (n,)
         self.classes = classes        # (n,) int
         self.names = names
+        self.save_path = None         # set by predict(save=True)
 
     def __len__(self):
         return len(self.boxes)
@@ -229,6 +230,13 @@ class YOLO:
 
     # ---------------------------------------------------------------- predict
 
+    #: video containers predict() plays through cv2 (ultralytics predictor
+    #: source parity: predict("video.mp4") runs per-frame detection)
+    VIDEO_SUFFIXES = frozenset(
+        {".mp4", ".avi", ".mov", ".mkv", ".m4v", ".webm", ".wmv", ".mpg",
+         ".mpeg"}
+    )
+
     def predict(
         self,
         source: Union[str, Path, np.ndarray, Sequence],
@@ -240,7 +248,22 @@ class YOLO:
                                # PERF.md round 2); short batches are padded
         classes: Optional[Sequence[int]] = None,  # keep only these class ids
         agnostic_nms: bool = False,
-    ) -> List[Detections]:
+        stream: bool = False,  # yield Detections lazily (ultralytics stream=)
+        save: bool = False,    # write annotated outputs (ultralytics save=)
+        save_dir: Union[str, Path, None] = None,  # default runs/predict
+    ):
+        """Run detection over images, directories, arrays, or a video file.
+
+        Mirrors the ultralytics predictor surface the reference delegates to:
+        ``source`` may be an image path, a directory, an ndarray, a sequence
+        of those, or a **video file** (decoded frame-by-frame through cv2 and
+        batched through the same compiled program). ``stream=True`` returns a
+        generator instead of a list (frames/images are loaded per batch, so
+        long videos never materialize in memory); ``save=True`` writes
+        annotated images — or, for video, one annotated video with the source
+        fps — under ``save_dir`` (default ``runs/predict``), recording each
+        output path on ``Detections.save_path``.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -252,12 +275,19 @@ class YOLO:
         self._ensure_built()
         model, variables, imgsz = self._model, self._variables, self.imgsz
 
+        is_video = False
         if isinstance(source, (str, Path)):
             p = Path(source)
-            sources = sorted(
-                q for q in p.iterdir()
-                if q.suffix.lower() in {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
-            ) if p.is_dir() else [p]
+            if p.suffix.lower() in self.VIDEO_SUFFIXES:
+                if not p.is_file():
+                    raise FileNotFoundError(f"视频文件不存在：{source}")
+                is_video, sources = True, [p]
+            else:
+                sources = sorted(
+                    q for q in p.iterdir()
+                    if q.suffix.lower() in {".jpg", ".jpeg", ".png", ".bmp",
+                                            ".webp"}
+                ) if p.is_dir() else [p]
         elif isinstance(source, np.ndarray):
             sources = [source]
         else:
@@ -305,23 +335,34 @@ class YOLO:
                 max_det=max_det, agnostic=agnostic_nms,
             )
 
-        results: List[Detections] = []
-        for start in range(0, len(sources), batch_size):
-            chunk = sources[start : start + batch_size]
+        def prepare(chunk):
+            """Host stage: decode + letterbox one chunk of path / ndarray /
+            (label, ndarray) items into a padded batch."""
             imgs, metas = [], []
             for src in chunk:
-                img = src if isinstance(src, np.ndarray) else load_image(src)
+                if isinstance(src, tuple):
+                    label, img = src
+                elif isinstance(src, np.ndarray):
+                    label, img = None, src
+                else:
+                    label, img = str(src), load_image(src)
                 canvas, r, (px, py) = letterbox_numpy(img, imgsz)
                 imgs.append(canvas)
-                metas.append((src, img, r, (px, py)))
+                metas.append((label, img, r, (px, py)))
             batch = np.stack(imgs)
             if len(batch) < batch_size:
                 pad = np.zeros(
                     (batch_size - len(batch), imgsz, imgsz, 3), batch.dtype
                 )
                 batch = np.concatenate([batch, pad])
-            ob, osc, ocl, nd = map(np.asarray, infer(jnp.asarray(batch)))
-            for i, (src, img, r, (px, py)) in enumerate(metas):
+            return batch, metas
+
+        def finish(handles, metas):
+            """Pull the device results for one dispatched batch and map boxes
+            back to original-image pixels."""
+            ob, osc, ocl, nd = map(np.asarray, handles)
+            out = []
+            for i, (label, img, r, (px, py)) in enumerate(metas):
                 n = int(nd[i])
                 boxes, bsc, bcl = ob[i, :n].copy(), osc[i, :n], ocl[i, :n]
                 if classes is not None and n:
@@ -335,15 +376,108 @@ class YOLO:
                     h, w = img.shape[:2]
                     boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
                     boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
-                results.append(Detections(
-                    path=str(src) if not isinstance(src, np.ndarray) else None,
+                out.append(Detections(
+                    path=label,
                     image=img,
                     boxes=boxes,
                     scores=bsc,
                     classes=bcl,
                     names=self.names,
                 ))
-        return results
+            return out
+
+        def pipelined(chunk_iter):
+            """Software pipeline over chunks: jax dispatch is async, so
+            dispatching batch N then decoding batch N+1 on the host overlaps
+            the (1-core) decode with device compute; the result pull for N
+            happens only when N+1 is already in flight."""
+            pending = None
+            for chunk in chunk_iter:
+                batch, metas = prepare(chunk)
+                handles = infer(jnp.asarray(batch))
+                if pending is not None:
+                    yield from finish(*pending)
+                pending = (handles, metas)
+            if pending is not None:
+                yield from finish(*pending)
+
+        out_dir = None
+        if save:
+            out_dir = Path(save_dir) if save_dir is not None else Path(
+                "runs") / "predict"
+            out_dir.mkdir(parents=True, exist_ok=True)
+
+        if is_video:
+            gen = self._predict_video(
+                sources[0], pipelined, batch_size, out_dir
+            )
+        else:
+            def _gen_images():
+                chunks = (
+                    sources[s : s + batch_size]
+                    for s in range(0, len(sources), batch_size)
+                )
+                for j, det in enumerate(pipelined(chunks)):
+                    if out_dir is not None:
+                        name = (Path(det.path).name if det.path
+                                else f"image{j}.jpg")
+                        det.save_path = det.save(out_dir / name)
+                    yield det
+
+            gen = _gen_images()
+        return gen if stream else list(gen)
+
+    def _predict_video(self, path, pipelined, batch_size, out_dir):
+        """Frame generator for video sources: cv2 decode (BGR→RGB) →
+        batched detection through the software pipeline (frame decode for
+        chunk N+1 overlaps the device running chunk N); with ``out_dir``
+        set, re-encodes the annotated frames at the source fps as
+        ``<stem>_pred.mp4``."""
+        from .train.data import cv2
+
+        if cv2 is None:  # pragma: no cover - cv2 is in the baked image
+            raise RuntimeError("视频推理需要 opencv-python (cv2)")
+        cap = cv2.VideoCapture(str(path))
+        if not cap.isOpened():
+            raise RuntimeError(f"无法打开视频：{path}")
+        writer = None
+        save_path = None
+        if out_dir is not None:
+            fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            save_path = Path(out_dir) / f"{Path(path).stem}_pred.mp4"
+            writer = cv2.VideoWriter(
+                str(save_path), cv2.VideoWriter_fourcc(*"mp4v"),
+                fps if fps > 0 else 30.0, (w, h),
+            )
+
+        def frame_chunks():
+            frames, idx, done = [], 0, False
+            while not done:
+                ok, bgr = cap.read()
+                if ok:
+                    frames.append((
+                        f"{path}#frame{idx}",
+                        cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB),
+                    ))
+                    idx += 1
+                else:
+                    done = True
+                if frames and (len(frames) == batch_size or done):
+                    yield frames
+                    frames = []
+
+        try:
+            for det in pipelined(frame_chunks()):
+                if writer is not None:
+                    writer.write(cv2.cvtColor(det.plot(), cv2.COLOR_RGB2BGR))
+                    det.save_path = save_path
+                yield det
+        finally:
+            cap.release()
+            if writer is not None:
+                writer.release()
 
     # ------------------------------------------------------------------ int8
 

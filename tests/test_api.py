@@ -173,3 +173,62 @@ def test_predict_classes_filter_and_agnostic_nms():
     # agnostic NMS suppresses across classes -> never MORE detections
     agn = model.predict(img, conf=0.001, max_det=20, agnostic_nms=True)[0]
     assert len(agn) <= len(allcls)
+
+
+def test_predict_video_stream_and_save(tmp_path):
+    """Video source parity with the ultralytics predictor: frames decode
+    through cv2, batch through the same compiled program, stream=True is
+    lazy, and save=True re-encodes an annotated video at the source fps."""
+    cv2 = pytest.importorskip("cv2")
+    vid = tmp_path / "clip.mp4"
+    rng = np.random.default_rng(3)
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 12, (80, 48))
+    frames = rng.integers(0, 255, (5, 48, 80, 3), dtype=np.uint8)
+    for f in frames:
+        w.write(f)
+    w.release()
+
+    model = YOLO("yolo11n", nc=2, imgsz=64)
+    gen = model.predict(
+        vid, conf=0.001, max_det=5, batch_size=2, stream=True,
+        save=True, save_dir=tmp_path / "out",
+    )
+    import types
+
+    assert isinstance(gen, types.GeneratorType)  # stream=True is lazy
+    dets = list(gen)
+    assert len(dets) == 5
+    assert [d.path for d in dets] == [f"{vid}#frame{i}" for i in range(5)]
+    assert all(d.image.shape == (48, 80, 3) for d in dets)
+    for d in dets:
+        if len(d):
+            assert (d.boxes[:, [0, 2]] <= 80).all()
+            assert (d.boxes[:, [1, 3]] <= 48).all()
+    out = tmp_path / "out" / "clip_pred.mp4"
+    assert dets[0].save_path == out and out.stat().st_size > 0
+    cap = cv2.VideoCapture(str(out))
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 12) < 0.5  # source fps carried over
+    cap.release()
+
+    with pytest.raises(FileNotFoundError):
+        model.predict(tmp_path / "missing.mp4")
+
+
+def test_predict_image_save_and_stream(tmp_path):
+    model = YOLO("yolo11n", nc=2, imgsz=64)
+    img = np.random.default_rng(4).integers(0, 255, (32, 40, 3), dtype=np.uint8)
+    p = tmp_path / "a.png"
+    Image.fromarray(img).save(p)
+    dets = model.predict(
+        [str(p), img], conf=0.001, max_det=5,
+        save=True, save_dir=tmp_path / "pred",
+    )
+    assert len(dets) == 2
+    assert dets[0].save_path == tmp_path / "pred" / "a.png"
+    assert dets[1].save_path == tmp_path / "pred" / "image1.jpg"
+    assert all(d.save_path.stat().st_size > 0 for d in dets)
+    # stream=True yields the same results lazily
+    streamed = list(model.predict([img], conf=0.001, max_det=5, stream=True))
+    assert len(streamed) == 1 and streamed[0].save_path is None
