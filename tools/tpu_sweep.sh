@@ -11,9 +11,15 @@ cd /root/repo
 
 run() { # name timeout cmd...
   local name=$1 t=$2; shift 2
+  if [ "$(cat "$OUT/$name.rc" 2>/dev/null)" = "0" ]; then
+    echo "=== $name: done earlier (rc=0), skipping ==="
+    return 0
+  fi
   echo "=== $name ($(date +%H:%M:%S)) ==="
   timeout "$t" "$@" >"$OUT/$name.log" 2>&1
-  echo "rc=$? -> $OUT/$name.log"; tail -3 "$OUT/$name.log"
+  local rc=$?
+  echo "$rc" >"$OUT/$name.rc"
+  echo "rc=$rc -> $OUT/$name.log"; tail -3 "$OUT/$name.log"
 }
 
 run bench_default   2400 python bench.py
