@@ -257,12 +257,18 @@ class YOLO:
         Mirrors the ultralytics predictor surface the reference delegates to:
         ``source`` may be an image path, a directory, an ndarray, a sequence
         of those, or a **video file** (decoded frame-by-frame through cv2 and
-        batched through the same compiled program). ``stream=True`` returns a
-        generator instead of a list (frames/images are loaded per batch, so
-        long videos never materialize in memory); ``save=True`` writes
-        annotated images — or, for video, one annotated video with the source
-        fps — under ``save_dir`` (default ``runs/predict``), recording each
-        output path on ``Detections.save_path``.
+        batched through the same compiled program). Directory sources
+        iterate image files only (videos inside a directory are skipped —
+        pass the video path directly). ``stream=True`` returns a generator
+        instead of a list (frames/images are loaded per batch, so long
+        videos never materialize in memory); ``save=True`` writes annotated
+        images — or, for video, one annotated video with the source fps —
+        under ``save_dir`` (default ``runs/predict``, auto-incremented to
+        ``predict2``… when it already exists), recording each output path on
+        ``Detections.save_path``. With ``stream=True`` on a video, the saved
+        mp4 is finalized only when the generator is fully consumed (or
+        closed) — an abandoned generator leaves it unplayable until GC runs
+        the writer's release.
         """
         import jax
         import jax.numpy as jnp
@@ -403,8 +409,16 @@ class YOLO:
 
         out_dir = None
         if save:
-            out_dir = Path(save_dir) if save_dir is not None else Path(
-                "runs") / "predict"
+            if save_dir is not None:
+                out_dir = Path(save_dir)
+            else:
+                # ultralytics semantics: the default run dir auto-increments
+                # (runs/predict, runs/predict2, …) so repeat calls never
+                # overwrite earlier outputs
+                out_dir, k = Path("runs") / "predict", 2
+                while out_dir.exists():
+                    out_dir = Path("runs") / f"predict{k}"
+                    k += 1
             out_dir.mkdir(parents=True, exist_ok=True)
 
         if is_video:
@@ -417,11 +431,21 @@ class YOLO:
                     sources[s : s + batch_size]
                     for s in range(0, len(sources), batch_size)
                 )
+                used = set()
                 for j, det in enumerate(pipelined(chunks)):
                     if out_dir is not None:
                         name = (Path(det.path).name if det.path
                                 else f"image{j}.jpg")
-                        det.save_path = det.save(out_dir / name)
+                        # distinct sources sharing a basename (or an ndarray
+                        # fallback name shadowing a real file) must not
+                        # overwrite each other
+                        stem, suf = Path(name).stem, Path(name).suffix
+                        final, n = name, 1
+                        while final in used:
+                            final = f"{stem}_{n}{suf}"
+                            n += 1
+                        used.add(final)
+                        det.save_path = det.save(out_dir / final)
                     yield det
 
             gen = _gen_images()
@@ -451,6 +475,11 @@ class YOLO:
                 str(save_path), cv2.VideoWriter_fourcc(*"mp4v"),
                 fps if fps > 0 else 30.0, (w, h),
             )
+            if not writer.isOpened():
+                cap.release()
+                raise RuntimeError(
+                    f"无法创建视频输出 (mp4v codec): {save_path}"
+                )
 
         def frame_chunks():
             frames, idx, done = [], 0, False

@@ -232,3 +232,33 @@ def test_predict_image_save_and_stream(tmp_path):
     # stream=True yields the same results lazily
     streamed = list(model.predict([img], conf=0.001, max_det=5, stream=True))
     assert len(streamed) == 1 and streamed[0].save_path is None
+
+
+def test_predict_save_name_collisions_and_default_dir(tmp_path, monkeypatch):
+    """Duplicate output basenames get _N suffixes instead of overwriting,
+    and the default save_dir auto-increments like ultralytics run dirs."""
+    model = YOLO("yolo11n", nc=2, imgsz=64)
+    img = np.random.default_rng(5).integers(0, 255, (32, 40, 3), dtype=np.uint8)
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    d1.mkdir(), d2.mkdir()
+    Image.fromarray(img).save(d1 / "same.png")
+    Image.fromarray(img).save(d2 / "same.png")
+    # a real file named like the ndarray fallback (image2.jpg for index 2)
+    Image.fromarray(img).save(d1 / "image2.jpg")
+    dets = model.predict(
+        [str(d1 / "same.png"), str(d2 / "same.png"), img,
+         str(d1 / "image2.jpg")],
+        conf=0.001, max_det=5, save=True, save_dir=tmp_path / "o",
+    )
+    names = [d.save_path.name for d in dets]
+    assert names == ["same.png", "same_1.png", "image2.jpg", "image2_1.jpg"]
+    assert all(d.save_path.stat().st_size > 0 for d in dets)
+
+    # default save_dir: runs/predict, then runs/predict2, ...
+    monkeypatch.chdir(tmp_path)
+    first = model.predict([img], conf=0.001, max_det=5, save=True)
+    assert (first[0].save_path.parent.resolve()
+            == (tmp_path / "runs" / "predict").resolve())
+    second = model.predict([img], conf=0.001, max_det=5, save=True)
+    assert (second[0].save_path.parent.resolve()
+            == (tmp_path / "runs" / "predict2").resolve())
