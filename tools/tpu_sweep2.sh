@@ -42,4 +42,15 @@ run epoch_spd1 3600 python tools/bench_epoch.py \
 run epoch_auto 3600 python tools/bench_epoch.py \
   --epochs 5 --imgsz 640 --batch 32 --steps-per-dispatch 0 \
   --data-root /tmp/dyd_bench
+
+# 4) fresh per-op rooflines to steer the round-5 perf work: the serving
+#    batch infer program (headline metric) and the current train step
+run mfu_infer 2400 python tools/profile_mfu.py \
+  --variant infer --batch 128 --csv "$OUT/mfu_infer_b128.csv"
+run mfu_train 2400 python tools/profile_mfu.py \
+  --variant train --batch 32 --csv "$OUT/mfu_train_b32.csv"
+
+# 5) rerun the int8 probe with the in-jit token chain (the first version
+#    paid an eager tunnel op per iteration and read 4.9 TOP/s for bf16)
+run probe_int8_v2 1200 python tools/probe_int8.py
 echo "=== sweep2 done ($(date +%H:%M:%S)); logs in $OUT ==="
