@@ -40,8 +40,18 @@ def fit_and_pick(
     (b1, b2), (m1, m2) = mem_probe, bytes_probe
     if b2 <= b1:
         raise ValueError(f"probe batches must increase: {mem_probe}")
-    slope = max((m2 - m1) / (b2 - b1), 1.0)  # bytes per image
-    fixed = max(m1 - slope * b1, 0.0)
+    slope = (m2 - m1) / (b2 - b1)  # bytes per image
+    # XLA's per-batch layout/fusion choices can make the two-point fit
+    # non-monotone (the round-5 TPU probe read 7.84 GiB at b=4 but 6.10 at
+    # b=8 for yolo11x@640 — a -446 MiB/img "slope" that the old max(.,1)
+    # clamp turned into a batch-1024 suggestion). When the fit is flatter
+    # than a sane floor, fall back to the larger probe's per-image AVERAGE
+    # (fixed cost attributed to images — strictly conservative).
+    avg = m2 / b2
+    if slope < 0.2 * avg:
+        slope, fixed = avg, 0.0
+    else:
+        fixed = max(m1 - slope * b1, 0.0)
     budget = fraction * limit_bytes - fixed
     if budget <= 0:
         return 0

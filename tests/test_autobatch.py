@@ -31,6 +31,16 @@ def test_fit_and_pick_math():
         fit_and_pick((8, 4), mems, 16 * GIB)
 
 
+def test_fit_and_pick_non_monotone_probe_falls_back_to_average():
+    # the round-5 TPU probe for yolo11x@640 read LESS memory at b=8 than
+    # b=4 (XLA layout/fusion differences); a naive fit extrapolated to a
+    # batch-1024 suggestion. The fallback attributes m2/b2 per image:
+    # 6.10/8 = 0.7625 GiB/img, 0.8*16 GiB budget -> 16 images.
+    assert fit_and_pick((4, 8), (7.84 * GIB, 6.10 * GIB), 16 * GIB) == 16
+    # near-flat (but positive) fits are equally implausible for a conv net
+    assert fit_and_pick((4, 8), (6.0 * GIB, 6.1 * GIB), 16 * GIB) == 16
+
+
 @pytest.fixture(scope="module")
 def tiny_model():
     from deal_yolo_daya_tpu.models.registry import make_detector
