@@ -277,10 +277,15 @@ def main():
     params, batch_stats = variables["params"], variables["batch_stats"]
     opt = build_optimizer(OptimizerConfig(epochs=100, steps_per_epoch=100), params)
 
+    from deal_yolo_daya_tpu.train.trainer import scale_stem_kernel
+
     def train_step(params, batch_stats, opt_state, ema, step, images, gtb, gtc, gtm):
-        x = images.astype(jnp.bfloat16) / 255.0
+        # fold_input_div default (round 5): raw images feed a 1/255-scaled
+        # stem kernel — the exact program the shipped Trainer runs
+        x = images.astype(jnp.bfloat16)
 
         def loss_fn(p):
+            p = scale_stem_kernel(p, 1.0 / 255.0)
             (box, cls), mut = model.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=True,
                 mutable=["batch_stats"],

@@ -132,6 +132,26 @@ class YOLO:
             )
             self._infer_jit = None  # compiled against the old model/imgsz
 
+    def _fused_vars(self):
+        """BN-folded inference variables, cached per weights identity.
+
+        predict()/serve run the fused program (BN reduced to a bias add —
+        the same fold the export bundle ships); the cache keys on the
+        _variables object so load()/train()/import invalidate it for free.
+        The fold itself runs jitted: eagerly multiplying ~100 kernels
+        through the axon tunnel costs ~50 ms per op (PERF.md rule 1).
+        """
+        import jax
+
+        from .models.yolo11 import fuse_conv_bn
+
+        cur = getattr(self, "_fused_cache", None)
+        if cur is not None and cur[0] is self._variables:
+            return cur[1]
+        fused = jax.jit(fuse_conv_bn)(self._variables)
+        self._fused_cache = (self._variables, fused)
+        return fused
+
     @classmethod
     def from_ultralytics(cls, ckpt, imgsz: int = 640) -> "YOLO":
         """Build a model from a trained ultralytics YOLO11/YOLOv8 checkpoint.
@@ -279,7 +299,11 @@ class YOLO:
         from .train.data import load_image
 
         self._ensure_built()
-        model, variables, imgsz = self._model, self._variables, self.imgsz
+        model, imgsz = self._model, self.imgsz
+        # BN-folded program unless quantized (the quant tree was calibrated
+        # against its own fold; quantized_apply closes over it)
+        variables = (self._variables if getattr(self, "_quant", None)
+                     else self._fused_vars())
 
         is_video = False
         if isinstance(source, (str, Path)):
@@ -518,7 +542,9 @@ class YOLO:
         paths, arrays); a few dozen representative images calibrate the
         per-conv activation ranges. Weights quantize per-output-channel over
         the BN-folded kernels; depthwise and detect-head logit convs stay
-        full precision (models/quant.py). The v5e MXU runs int8 at 2x bf16.
+        full precision (models/quant.py). Measured on v5e: int8 matmuls
+        run ~2x bf16 but XLA's conv lowering only reaches ~1.1x, so this
+        path trades ~4% throughput for 4x-smaller weights (PERF.md round 5).
         """
         import jax.numpy as jnp
 

@@ -24,11 +24,13 @@ def autopad(k: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
     return ((p, p), (p, p))
 
 
-# BN statistics reduction dtype: True = float32 (flax default, stable),
-# False = the compute dtype (bf16). A/B hook for the train-step trace's
-# 2.5 ms BN-stat reduction bucket (PERF.md round 3 attack item 2) — flip
-# before model build/trace; tools/bench_train.py --bn-bf16-stats measures it.
-BN_F32_STATS = True
+# BN statistics reduction dtype: True = float32 (flax default), False =
+# the compute dtype (bf16). The train-step trace's BN-stat reduction bucket
+# (PERF.md round 3 attack item 2) measured 48.0 -> 46.7 ms/step b32@640
+# with bf16 stats (round-5 A/B, tools/bench_train.py --bn-bf16-stats);
+# quality-gated by the 30-epoch synth yardstick (mAP50 0.99 held). Default
+# bf16 since round 5; tests/benches can flip back for A/B.
+BN_F32_STATS = False
 
 # Force the space-to-depth lowering for ALL eligible stride-2 3x3 convs
 # (same kernel parameter, same function — see _SPDConv2). A/B hook for the

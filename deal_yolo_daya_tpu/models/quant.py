@@ -1,9 +1,12 @@
 """Post-training int8 (w8a8) quantization for serving.
 
-The v5e MXU runs int8 matmuls at 2x its bf16 rate (394 vs 197 TOPS), so the
-conv-dominated inference path (PERF.md: fwd is ~13 ms of a 15 ms e2e batch)
-has int8 headroom the reference's GPU engine gets from TensorRT. This module
-quantizes a trained model without touching any model code:
+The v5e MXU runs int8 MATMULS at ~2x its bf16 rate (measured 284 vs 144
+TOP/s on 8192^3, tools/probe_int8.py round 5) — but XLA's CONV lowering
+only reaches 1.11x (87 vs 78 TOP/s), so on this chip/stack the w8a8 path is
+a memory/bundle-size feature, not a throughput one (bench --int8: 6174 vs
+6408 img/s b128; PERF.md round 5). Kept for parity with the reference's
+TensorRT-int8 analog and for hardware where the conv lowering catches up.
+This module quantizes a trained model without touching any model code:
 
 - weights: per-output-channel symmetric int8 over the BN-FOLDED kernels
   (quantizing after the fold keeps the BN scale inside the int8 range).

@@ -131,10 +131,11 @@ class Engine:
         from .ops.decode import decode_predictions
         from .ops.nms import batched_nms
 
-        model, variables, imgsz = (
-            self.model._model, self.model._variables, self.imgsz,
-        )
+        model, imgsz = self.model._model, self.imgsz
         quant = getattr(self.model, "_quant", None)
+        # BN-folded program unless quantized (quant calibrated its own fold)
+        variables = (self.model._variables if quant
+                     else self.model._fused_vars())
         if quant is not None:
             from .models.quant import quantized_apply
 
@@ -199,6 +200,33 @@ class Engine:
                     break
                 req.future.set_exception(RuntimeError("engine shut down"))
 
+    def warmup(self, buckets: Optional[List[int]] = None):
+        """Compile every bucket executable before taking traffic.
+
+        Each power-of-two bucket size is a distinct XLA program; on a
+        tunnel-attached TPU one compile can cost tens of seconds, which
+        otherwise lands on the first unlucky live requests (the round-5
+        serve bench measured p50 = 22 s because buckets 2/4/16/32 compiled
+        mid-window). Call once at deploy time, before or after ``start()``.
+        """
+        with self._lock:
+            if self._infer is None:
+                self._build()
+        jnp = self._jnp
+        if buckets is None:
+            buckets, b = [], 1
+            while b < self.max_batch:
+                buckets.append(b)
+                b <<= 1
+            buckets.append(self.max_batch)
+        for n in buckets:
+            x = jnp.asarray(
+                np.zeros((n, self.imgsz, self.imgsz, 3), np.uint8))
+            out = self._infer(
+                x, jnp.float32(self.conf), jnp.float32(self.iou))
+            np.asarray(out[3])  # block until this bucket's program is live
+        return self
+
     def submit(self, image: np.ndarray, conf: Optional[float] = None,
                iou: Optional[float] = None) -> Future:
         """Enqueue one RGB uint8 (H, W, 3) image; resolves to Detections.
@@ -241,8 +269,9 @@ class Engine:
     def _dispatch_loop(self):
         import jax  # noqa: F401  (device work happens on this thread)
 
-        if self._infer is None:
-            self._build()
+        with self._lock:  # warmup() may be building on another thread
+            if self._infer is None:
+                self._build()
         jnp = self._jnp
         while not self._stop.is_set():
             try:

@@ -72,6 +72,7 @@ def probe_step_bytes(
     opt_cfg=None,
     loss_cfg=None,
     fold_div: bool = False,
+    fold_barrier: bool = False,
     accumulate: bool = False,
 ) -> float:
     """AOT-compile one representative train step at `batch` and return the
@@ -107,6 +108,10 @@ def probe_step_bytes(
     def train_step(params, stats, opt_state, ema, step, loss_acc,
                    images, gt_boxes, gt_classes, gt_mask):
         x = images.astype(dtype)
+        if fold_barrier:
+            # same fence Trainer applies (space_to_batch_converter crash on
+            # backprop programs at large imgsz — TrainConfig.fold_div_barrier)
+            x = jax.lax.optimization_barrier(x)
         if not fold_div:
             x = x / 255.0
 
@@ -181,6 +186,7 @@ def suggest_batch(
     opt_cfg=None,
     loss_cfg=None,
     fold_div: bool = False,
+    fold_barrier: bool = False,
     accumulate: bool = False,
     limit_bytes: Optional[float] = None,
     fraction: float = 0.8,
@@ -202,7 +208,7 @@ def suggest_batch(
             probe_step_bytes(
                 model, nc, imgsz, b, dtype=dtype, max_boxes=max_boxes,
                 opt_cfg=opt_cfg, loss_cfg=loss_cfg, fold_div=fold_div,
-                accumulate=accumulate,
+                fold_barrier=fold_barrier, accumulate=accumulate,
             )
             for b in probe
         )

@@ -130,9 +130,24 @@ class TrainConfig:
     # 0..255 images and scales the (3,3,3,C) kernel at trace time instead of
     # dividing the full image tensor (conv is linear, so outputs AND
     # gradients match the divided-input program exactly — equivalence pinned
-    # by tests). Trace attack item 3 (PERF.md round 3, ~0.6 ms input-div
-    # copy); default off until measured on TPU.
-    fold_input_div: bool = False
+    # by tests). Trace attack item 3 (PERF.md round 3); measured 48.0 ->
+    # 43.8 ms/step b32@640 AND -0.21 GB temp HBM (round-5 A/B,
+    # tools/bench_train.py --fold-div) — the fold also removes the layout
+    # copy of the divided image. Default ON since round 5.
+    fold_input_div: bool = True
+    # XLA TPU workaround: space_to_batch_converter CHECK-fails (SIGABRT in
+    # the server-side compiler, space_to_batch_converter.cc:2011 — it builds
+    # a select(bf16, u8) propagating through the u8->bf16 convert feeding
+    # the stem's BACKWARD filter conv) when fold_input_div feeds the raw
+    # cast straight into the stem at large spatial sizes. An
+    # optimization_barrier after the cast fences the propagation; measured
+    # free at x@1280 (214.7 vs 215.3 ms/step unfolded) but -10 ms/step at
+    # n@640, where the pass never fires anyway. None = auto: barrier for
+    # imgsz > _FOLD_DIV_SAFE_IMGSZ (the crash is scale-AND-size dependent —
+    # x@896 dies while n@896 is clean — so the gate fences everything above
+    # the size class verified clean for every scale; forward-only programs
+    # never need it, the failing propagation is backprop-specific).
+    fold_div_barrier: Optional[bool] = None
     # HBM-cache path only: lax.scan K (gather -> augment -> train) steps
     # into ONE device program, cutting per-step dispatch round-trips (the
     # @640 wall/step gap is ~12 ms x 63 tunnel calls/epoch, PERF.md round 3)
@@ -177,6 +192,20 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema_params: Any
     step: jnp.ndarray
+
+
+# largest imgsz proven clean for the unfenced fold across ALL scales
+# (round-5 crash matrix: n/s/x@640 and n@896 train clean; x@896, x@1024 and
+# n@1280 CHECK-fail — the pass's trigger depends on scale AND size, so the
+# auto gate fences everything above the one size class verified everywhere).
+_FOLD_DIV_SAFE_IMGSZ = 640
+
+
+def fold_div_needs_barrier(imgsz: int, override: Optional[bool] = None) -> bool:
+    """Resolve TrainConfig.fold_div_barrier (None = auto by image size)."""
+    if override is not None:
+        return bool(override)
+    return int(imgsz) > _FOLD_DIV_SAFE_IMGSZ
 
 
 def scale_stem_kernel(params, scale: float):
@@ -307,6 +336,8 @@ class Trainer:
                 self.model, self.nc, config.imgsz, dtype=self.dtype,
                 max_boxes=config.max_boxes, opt_cfg=probe_opt,
                 loss_cfg=probe_loss, fold_div=bool(config.fold_input_div),
+                fold_barrier=bool(config.fold_input_div) and
+                fold_div_needs_barrier(config.imgsz, config.fold_div_barrier),
                 accumulate=bool(config.nbs),
                 limit_bytes=config.auto_batch_bytes or None,
             )
@@ -500,6 +531,9 @@ class Trainer:
         data_sh = None if self.single_device else batch_sharding(self.mesh)
 
         fold_div = bool(self.cfg.fold_input_div)
+        fold_barrier = fold_div and fold_div_needs_barrier(
+            imgsz, self.cfg.fold_div_barrier
+        )
 
         frozen_tops: Tuple[str, ...] = ()
         if self.cfg.freeze:
@@ -513,6 +547,10 @@ class Trainer:
 
         def train_step(state: TrainState, loss_acc, images, gt_boxes, gt_classes, gt_mask):
             x = images.astype(self.dtype)
+            if fold_barrier:
+                # fence space_to_batch_converter off the u8 producer (see
+                # TrainConfig.fold_div_barrier) — backward-pass programs only
+                x = jax.lax.optimization_barrier(x)
             if not fold_div:
                 x = x / 255.0
 

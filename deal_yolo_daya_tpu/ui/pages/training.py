@@ -316,7 +316,8 @@ def render_training_platform():
              "device_augment、donate、profile_steps、cache_budget_gb、"
              "conf、iou、max_det、warmup_epochs、lr0、lrf、momentum、"
              "weight_decay、steps_per_dispatch（每次派发扫描K步）、"
-             "remat（大模型大分辨率时以算力换显存）、fold_input_div；"
+             "remat（大模型大分辨率时以算力换显存）、fold_input_div、"
+             "fold_div_barrier（>640 自动开，规避 XLA 编译崩溃）；"
              "batch=-1 时按 HBM 自动选批大小（auto_batch_bytes 可覆盖预算）；"
              "nbs=64 启用 ultralytics 梯度累积节奏；freeze=N 冻结前 N 层；"
              "single_cls、fraction、save_json 同 ultralytics 语义",

@@ -116,6 +116,51 @@ def test_fold_input_div_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
 
 
+def test_fold_div_barrier_gate_and_transparency():
+    """The space_to_batch crash fence (TrainConfig.fold_div_barrier):
+    auto gate turns on only at large imgsz (the pass never fires at 640,
+    where the barrier costs ~10 ms/step — PERF.md round 5), the override
+    wins either way, and the barrier itself is semantics-free (identical
+    loss AND gradients)."""
+    import jax
+
+    from deal_yolo_daya_tpu.train.trainer import (
+        _FOLD_DIV_SAFE_IMGSZ, fold_div_needs_barrier, scale_stem_kernel,
+    )
+
+    assert not fold_div_needs_barrier(_FOLD_DIV_SAFE_IMGSZ, None)
+    assert not fold_div_needs_barrier(320, None)
+    assert fold_div_needs_barrier(_FOLD_DIV_SAFE_IMGSZ + 32, None)
+    assert fold_div_needs_barrier(1280, None)
+    assert fold_div_needs_barrier(640, True)
+    assert not fold_div_needs_barrier(1280, False)
+
+    model, variables = build_yolo11("n", nc=4, imgsz=64)
+    rng = np.random.default_rng(2)
+    raw = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), np.uint8))
+
+    def loss(params, barrier):
+        x = raw.astype(jnp.float32)
+        if barrier:
+            x = jax.lax.optimization_barrier(x)
+        (box, cls), _ = model.apply(
+            {"params": scale_stem_kernel(params, 1.0 / 255.0),
+             "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in box + cls) * 1e-6
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(variables["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g0, g1,
+    )
+
+
 def test_remat_equivalence():
     """remat=True (nn.remat on the heavy blocks) must be the same function
     with the same parameter tree — values AND gradients — as remat=False;

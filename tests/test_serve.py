@@ -44,6 +44,19 @@ def test_engine_results_match_predict(handle, images):
         np.testing.assert_array_equal(g.classes, w.classes)
 
 
+def test_engine_warmup_precompiles_buckets(handle, images):
+    # warmup() must compile every bucket program before traffic (deploy-time
+    # cold-start avoidance) and work both before and after start()
+    eng = Engine(handle, max_batch=4, max_wait_ms=5.0, conf=0.001)
+    eng.warmup()  # before start(): builds + compiles buckets 1, 2, 4
+    with eng:
+        f = eng.submit(images[0])
+        assert f.result(timeout=600) is not None
+        eng.warmup([2])  # after start(): idempotent, no queue interaction
+    s = eng.stats()
+    assert s["completed"] == 1 and s["errors"] == 0
+
+
 def test_engine_batches_bursts(handle, images):
     eng = Engine(handle, max_batch=4, max_wait_ms=200.0)
     with eng:

@@ -84,11 +84,13 @@ def main():
                     time.sleep(sleep)
 
     with eng:
-        # warm the bucket executables outside the window
+        # compile EVERY bucket executable outside the window (buckets that
+        # compiled mid-window through the tunnel read p50 = 22 s)
+        t_w = time.perf_counter()
+        eng.warmup()
+        print(f"[bench_serve] warmup (all buckets) "
+              f"{time.perf_counter() - t_w:.1f}s", file=sys.stderr)
         eng.submit(imgs[0]).result(timeout=1200)
-        futs = [eng.submit(im) for im in imgs[: args.max_batch]]
-        for f in futs:
-            f.result(timeout=1200)
         base = eng.stats()["completed"]
 
         threads = [threading.Thread(target=client, args=(i,), daemon=True)

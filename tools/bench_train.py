@@ -37,11 +37,22 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--gt", type=int, default=8, help="padded GT boxes per image")
     ap.add_argument("--only", default="", help="comma list of variants to run")
-    # round-3 trace attack-item A/B flags (PERF.md)
+    # round-3 trace attack-item A/B flags (PERF.md). bn-bf16-stats and
+    # fold-div won their round-5 A/Bs and are the package defaults now;
+    # the --bn-f32-stats / --no-fold-div flags flip BACK for regression A/Bs.
     ap.add_argument("--bn-bf16-stats", action="store_true",
-                    help="BN stat reductions in bf16 instead of f32 (item 2)")
-    ap.add_argument("--fold-div", action="store_true",
-                    help="fold the /255 into the stem conv kernel (item 3)")
+                    help="BN stat reductions in bf16 (the default since r5)")
+    ap.add_argument("--bn-f32-stats", action="store_true",
+                    help="BN stat reductions in f32 (the pre-r5 default)")
+    ap.add_argument("--fold-div", dest="fold_div", action="store_true",
+                    default=True,
+                    help="fold the /255 into the stem conv kernel (default)")
+    ap.add_argument("--no-fold-div", dest="fold_div", action="store_false",
+                    help="divide the input image instead (pre-r5 default)")
+    ap.add_argument("--fold-barrier", action="store_true",
+                    help="optimization_barrier after the u8->bf16 cast "
+                         "(A/B for the x@1280 space_to_batch_converter "
+                         "crash — see PERF.md round 5)")
     ap.add_argument("--donate", action="store_true",
                     help="donate the full_step state buffers (item: copy-done "
                          "bucket; WATCH the printed compile time — rule 2)")
@@ -60,7 +71,9 @@ def main():
 
     from deal_yolo_daya_tpu.models import blocks
 
-    if args.bn_bf16_stats:
+    if args.bn_f32_stats:
+        blocks.BN_F32_STATS = True
+    elif args.bn_bf16_stats:
         blocks.BN_F32_STATS = False
     if args.spd:
         blocks.SPD_STRIDE2 = True
@@ -149,6 +162,8 @@ def main():
     def full_step(params, batch_stats, opt_state, ema, step, images, gtb, gtc, gtm):
         # state chains through iterations, so the final pull orders all steps
         x = images.astype(jnp.bfloat16)
+        if args.fold_barrier:
+            x = jax.lax.optimization_barrier(x)
         if not fold_div:
             x = x / 255.0
 
