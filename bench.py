@@ -167,11 +167,13 @@ def main():
     model, variables = build_detector(
         f"{family}{scale}", nc=80, imgsz=imgsz, dtype=jnp.bfloat16
     )
-    fused = fuse_conv_bn(variables)
+    # BN fold + 1/255 folded into the stem kernel: raw u8 feed (the explicit
+    # divide costs an image-sized layout copy — ~2 ms of a 39 ms b128 step)
+    fused = fuse_conv_bn(variables, input_scale=1.0 / 255.0)
 
     @jax.jit
     def infer(images, tok, conf):
-        x = (images.astype(jnp.bfloat16) + tok) / 255.0
+        x = images.astype(jnp.bfloat16) + tok
         box, cls = model.apply(fused, x, train=False)
         boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
         det = batched_nms(
@@ -249,11 +251,11 @@ def main():
 
         handle = YOLO(f"{family}{scale}", imgsz=imgsz).load(args.weights)
         tmodel, tvars = handle._model, handle._variables
-        tfused = fuse_conv_bn(tvars)
+        tfused = fuse_conv_bn(tvars, input_scale=1.0 / 255.0)
 
         @jax.jit
         def infer_trained(imgs, tok, conf):
-            x = (imgs.astype(jnp.bfloat16) + tok) / 255.0
+            x = imgs.astype(jnp.bfloat16) + tok
             box, cls = tmodel.apply(tfused, x, train=False)
             boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
             det = batched_nms(

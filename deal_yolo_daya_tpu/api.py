@@ -133,14 +133,18 @@ class YOLO:
             self._infer_jit = None  # compiled against the old model/imgsz
 
     def _fused_vars(self):
-        """BN-folded inference variables, cached per weights identity.
+        """BN-folded inference variables (with the 1/255 input normalization
+        folded into the stem kernel), cached per weights identity.
 
-        predict()/serve run the fused program (BN reduced to a bias add —
-        the same fold the export bundle ships); the cache keys on the
-        _variables object so load()/train()/import invalidate it for free.
-        The fold itself runs jitted: eagerly multiplying ~100 kernels
-        through the axon tunnel costs ~50 ms per op (PERF.md rule 1).
+        predict()/serve run the fused program (BN reduced to a bias add, raw
+        0..255 input feed); the cache keys on the _variables object so
+        load()/train()/import invalidate it for free. The fold itself runs
+        jitted: eagerly multiplying ~100 kernels through the axon tunnel
+        costs ~50 ms per op (PERF.md rule 1). Export bundles keep plain
+        BN-folded weights (no input fold) for artifact compatibility.
         """
+        import functools
+
         import jax
 
         from .models.yolo11 import fuse_conv_bn
@@ -148,7 +152,9 @@ class YOLO:
         cur = getattr(self, "_fused_cache", None)
         if cur is not None and cur[0] is self._variables:
             return cur[1]
-        fused = jax.jit(fuse_conv_bn)(self._variables)
+        fused = jax.jit(
+            functools.partial(fuse_conv_bn, input_scale=1.0 / 255.0)
+        )(self._variables)
         self._fused_cache = (self._variables, fused)
         return fused
 
@@ -347,7 +353,10 @@ class YOLO:
             else:
                 def _infer(variables, images, conf_t, iou_t, max_det,
                            agnostic=False):
-                    x = images.astype(jnp.bfloat16) / 255.0
+                    # raw 0..255 feed: the 1/255 is folded into the fused
+                    # stem kernel (_fused_vars) — the explicit divide costs
+                    # a full image-tensor layout copy on TPU (PERF.md r5)
+                    x = images.astype(jnp.bfloat16)
                     box, cls = self._model.apply(variables, x, train=False)
                     boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
                     return batched_nms(
@@ -694,7 +703,21 @@ class YOLO:
             jax.ShapeDtypeStruct((), jnp.float32),
         )
         platforms = None if use_pallas else ("cpu", "tpu")
-        exported = jexport.export(jax.jit(serve), platforms=platforms)(*args)
+        from .models import blocks as _blocks
+
+        # the portable artifact must not bake Mosaic kernels: pin the
+        # area-attention auto gate off while lowering (yolo12 on a TPU
+        # process would otherwise embed the TPU-only attention kernel);
+        # use_pallas=True artifacts are TPU-only anyway, keep the gate auto
+        _saved_gate = _blocks.AATTN_PALLAS
+        if not use_pallas:
+            _blocks.AATTN_PALLAS = False
+        try:
+            exported = jexport.export(
+                jax.jit(serve), platforms=platforms
+            )(*args)
+        finally:
+            _blocks.AATTN_PALLAS = _saved_gate
 
         out_dir = Path(out_dir).resolve()
         out_dir.mkdir(parents=True, exist_ok=True)

@@ -12,7 +12,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -336,11 +336,23 @@ class C2PSA(nn.Module):
         )
 
 
+# Fused Pallas area-attention kernel gate: True/False force; None = auto
+# (TPU backend AND inference) — the einsum path bounces the (n, n) score
+# tensor through HBM three times per layer and its strided q|k|v extraction
+# dominates the "data formatting" trace bucket (PERF.md round 5: yolo12n
+# infer is HBM-bound at 77% of roofline). Training keeps the einsum path
+# (XLA autodiff; the kernel is forward-only). Exporters that promise
+# portable artifacts must force False while tracing (api.export_stablehlo).
+AATTN_PALLAS: Optional[bool] = None
+
+
 class AAttn(nn.Module):
     """Area attention (YOLOv12): full softmax attention over the flattened
     H*W token sequence, partitioned into `area` equal contiguous chunks so
     each chunk attends within itself only — the quadratic term drops by
-    area^2 while the matmuls stay MXU-shaped (batched (N/area)^2 einsums).
+    area^2 while the matmuls stay MXU-shaped (batched (N/area)^2 einsums),
+    or — on TPU at inference — one fused VMEM-resident Pallas kernel per
+    chunk (ops/pallas/area_attention.py).
 
     qkv/proj are 1x1 convs; a depthwise 7x7 conv on V is the positional
     encoding. Row-major chunking (stripes of the image) matches the public
@@ -364,21 +376,41 @@ class AAttn(nn.Module):
         qkv = ConvBN(3 * self.dim, 1, act=False, dtype=self.dtype, name="qkv")(
             x, train
         )
-        # (b*area, n/area, heads, 3*head_dim): per-head interleaved q|k|v,
-        # matching the torch view(B,N,heads,3*hd).split layout
-        qkv = qkv.reshape(b * self.area, n // self.area, self.num_heads,
-                          3 * head_dim)
-        q = qkv[..., :head_dim]
-        k = qkv[..., head_dim:2 * head_dim]
-        v = qkv[..., 2 * head_dim:]
+        use_pallas = AATTN_PALLAS
+        if use_pallas is None:
+            use_pallas = (not train) and jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.pallas.area_attention import area_attention  # noqa
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, self.dim)
+            chunks = qkv.reshape(b * self.area, n // self.area, 3 * self.dim)
+            out_c, v_c = area_attention(
+                chunks, self.num_heads, head_dim,
+                # forced-on off-TPU (tests) runs the interpreter
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out_c.reshape(b, h, w, self.dim)
+            v_img = v_c.reshape(b, h, w, self.dim)
+        else:
+            # (b*area, n/area, heads, 3*head_dim): per-head interleaved
+            # q|k|v, matching the torch view(B,N,heads,3*hd).split layout
+            qkv = qkv.reshape(b * self.area, n // self.area, self.num_heads,
+                              3 * head_dim)
+            q = qkv[..., :head_dim]
+            k = qkv[..., head_dim:2 * head_dim]
+            v = qkv[..., 2 * head_dim:]
+
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                q.dtype
+            )
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(
+                b, h, w, self.dim
+            )
+            v_img = v.reshape(b, h, w, self.dim)
 
         pe = ConvBN(
             self.dim, 7, groups=self.dim, act=False, dtype=self.dtype, name="pe"
-        )(v.reshape(b, h, w, self.dim), train)
+        )(v_img, train)
         return ConvBN(self.dim, 1, act=False, dtype=self.dtype, name="proj")(
             out + pe, train
         )

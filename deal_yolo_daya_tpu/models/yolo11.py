@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -181,13 +181,22 @@ def build_yolo11(
     return model, variables
 
 
-def fuse_conv_bn(variables: Dict[str, Any]) -> Dict[str, Any]:
+def fuse_conv_bn(variables: Dict[str, Any],
+                 input_scale: Optional[float] = None) -> Dict[str, Any]:
     """Fold BatchNorm statistics into the preceding conv kernel for inference.
 
     Works on the standard {params, batch_stats} variable dict: every module
     holding both a `conv` kernel and a `bn` is rewritten so the bn reduces to
     a pure bias add (scale folded into the kernel, stats neutralized). The
     module tree is unchanged, so the same apply_fn works.
+
+    ``input_scale`` additionally folds an input normalization (e.g. 1/255)
+    into the stem (``b0``) conv kernel — exact by conv linearity, the same
+    identity the trainer's fold_input_div rests on. The caller then feeds
+    RAW 0..255 images: on TPU the explicit divide costs a full layout copy
+    of the image tensor (~2 ms of a 39 ms b128 step, PERF.md round 5).
+    Export bundles deliberately do NOT use it (artifact compat: bundles
+    store plain BN-folded weights and their loaders divide).
     """
     import copy as _copy
 
@@ -222,6 +231,12 @@ def fuse_conv_bn(variables: Dict[str, Any]) -> Dict[str, Any]:
     params = _to_mutable(params)
     stats = _to_mutable(stats)
     _walk(params, stats)
+    if input_scale is not None:
+        params["b0"] = dict(params["b0"])
+        params["b0"]["conv"] = dict(params["b0"]["conv"])
+        params["b0"]["conv"]["kernel"] = (
+            params["b0"]["conv"]["kernel"] * input_scale
+        )
     out = dict(variables)
     out["params"] = params
     out["batch_stats"] = stats

@@ -142,13 +142,16 @@ class Engine:
             apply_fn = quantized_apply(model, *quant)
 
             def net(images):
-                return apply_fn(images)
+                # quant calibrated on 0..1 inputs: divide before the convs
+                return apply_fn(images / 255.0)
         else:
             def net(images):
+                # raw 0..255 feed — 1/255 folded into the fused stem kernel
+                # (the explicit divide costs an image-sized layout copy)
                 return model.apply(variables, images, train=False)
 
         def _serve(images, conf_t, iou_t):
-            x = images.astype(jnp.bfloat16) / 255.0
+            x = images.astype(jnp.bfloat16)
             box, cls = net(x)
             boxes, scores = decode_predictions(box, cls, (imgsz, imgsz))
             return batched_nms(

@@ -63,6 +63,19 @@ def test_fuse_conv_bn_preserves_inference_output():
     for a, b in zip(box + cls, box_f + cls_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
+    # input_scale folds the /255 into the stem kernel: raw 0..255 feed must
+    # match the divided-input fused program (the predict()/serve programs)
+    raw = jnp.asarray(
+        np.random.default_rng(3).integers(0, 255, (2, 64, 64, 3), np.uint8),
+        jnp.float32,
+    )
+    fused_in = fuse_conv_bn(variables, input_scale=1.0 / 255.0)
+    box_d, cls_d = model.apply(fused, raw / 255.0, train=False)
+    box_r, cls_r = model.apply(fused_in, raw, train=False)
+    for a, b in zip(box_d + cls_d, box_r + cls_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-4)
+
 
 def test_bf16_compute_dtype():
     model, variables = build_yolo11("n", nc=3, imgsz=64, dtype=jnp.bfloat16)

@@ -95,6 +95,52 @@ def test_area_attention_chunking_matches_dense_on_block_rows():
     )
 
 
+def test_area_attention_kernel_parity():
+    """The fused Pallas kernel (ops/pallas/area_attention.py) must match the
+    einsum path — whole AAttn module, multi-head, area-chunked — within
+    bf16-class tolerance (the kernel keeps scores f32, the einsum path
+    rounds them to the compute dtype, so tiny drift is expected)."""
+    from deal_yolo_daya_tpu.models import blocks
+    from deal_yolo_daya_tpu.models.blocks import AAttn
+    from deal_yolo_daya_tpu.ops.pallas.area_attention import area_attention
+
+    # raw kernel vs numpy reference (f32, interpret mode)
+    rng = np.random.default_rng(5)
+    heads, hd, ba, n = 2, 8, 3, 16
+    qkv = jnp.asarray(rng.normal(0, 1, (ba, n, heads * 3 * hd)), jnp.float32)
+    out, v = area_attention(qkv, heads, hd, interpret=True)
+    ref_out = np.zeros((ba, n, heads * hd), np.float32)
+    ref_v = np.zeros_like(ref_out)
+    qkv_np = np.asarray(qkv)
+    for h in range(heads):
+        base = 3 * hd * h
+        q = qkv_np[:, :, base:base + hd]
+        k = qkv_np[:, :, base + hd:base + 2 * hd]
+        vv = qkv_np[:, :, base + 2 * hd:base + 3 * hd]
+        s = np.einsum("bqd,bkd->bqk", q, k) * hd ** -0.5
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref_out[:, :, hd * h:hd * (h + 1)] = np.einsum("bqk,bkd->bqd", p, vv)
+        ref_v[:, :, hd * h:hd * (h + 1)] = vv
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-6, atol=1e-6)
+
+    # whole module: pallas gate on (interpret) vs einsum path off
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 8, 64))
+    mod = AAttn(64, 2, area=4)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    y_einsum = mod.apply(variables, x)
+    saved = blocks.AATTN_PALLAS
+    blocks.AATTN_PALLAS = True
+    try:
+        y_pallas = mod.apply(variables, x)
+    finally:
+        blocks.AATTN_PALLAS = saved
+    np.testing.assert_allclose(
+        np.asarray(y_pallas), np.asarray(y_einsum), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_aattn_rejects_indivisible_area():
     from deal_yolo_daya_tpu.models.blocks import AAttn
 

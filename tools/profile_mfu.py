@@ -48,12 +48,13 @@ PEAK_FLOPS = {"v5e": 197e12, "v5p": 459e12, "cpu": 1e12}
 PEAK_HBM = {"v5e": 819e9, "v5p": 2765e9, "cpu": 100e9}
 
 
-def build_step(scale: str, imgsz: int, batch: int, variant: str, gt: int = 8):
+def build_step(scale: str, imgsz: int, batch: int, variant: str, gt: int = 8,
+               family: str = "yolo11"):
     import jax
     import jax.numpy as jnp
     import optax
 
-    from deal_yolo_daya_tpu.models.yolo11 import YOLO11
+    from deal_yolo_daya_tpu.models.registry import make_detector
     from deal_yolo_daya_tpu.train.loss import LossConfig, detection_loss
     from deal_yolo_daya_tpu.train.optimizer import (
         OptimizerConfig, build_optimizer, ema_update,
@@ -61,7 +62,7 @@ def build_step(scale: str, imgsz: int, batch: int, variant: str, gt: int = 8):
 
     b, s, n = batch, imgsz, gt
     nc = 80
-    model = YOLO11(nc=nc, scale=scale, dtype=jnp.bfloat16)
+    model = make_detector(family, scale, nc, dtype=jnp.bfloat16)
     variables = jax.jit(
         lambda k: model.init(k, jnp.zeros((1, s, s, 3), jnp.bfloat16), train=False)
     )(jax.random.PRNGKey(0))
@@ -182,6 +183,8 @@ def parse_trace(trace_dir: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="n")
+    ap.add_argument("--model", default="yolo11",
+                    help="model family (yolo11 | yolov8 | yolo12)")
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=4)
@@ -199,7 +202,8 @@ def main():
     peak_b = PEAK_HBM.get(args.chip, 819e9)
 
     run, lowered, b = build_step(
-        args.scale, args.imgsz, args.batch, args.variant, args.gt
+        args.scale, args.imgsz, args.batch, args.variant, args.gt,
+        family=args.model,
     )
     t0 = time.time()
     compiled = lowered.compile()
@@ -231,7 +235,7 @@ def main():
     flops_step = total_flops / n_exec
     bytes_step = total_bytes / n_exec
 
-    print(f"\n== {args.variant} {args.scale} b{args.batch} @{args.imgsz} "
+    print(f"\n== {args.variant} {args.model}{args.scale} b{args.batch} @{args.imgsz} "
           f"({n_exec} traced execs) ==")
     print(f"wall   {wall_step * 1e3:8.2f} ms/step   {b / wall_step:8.1f} img/s")
     print(f"device {dev_step * 1e3:8.2f} ms/step busy "
