@@ -278,20 +278,40 @@ class PSAAttention(nn.Module):
         total = self.num_heads * (2 * key_dim + head_dim)
 
         qkv = ConvBN(total, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
-        qkv = qkv.reshape(b, n, self.num_heads, 2 * key_dim + head_dim)
-        q = qkv[..., :key_dim]
-        k = qkv[..., key_dim:2 * key_dim]
-        v = qkv[..., 2 * key_dim:]
+        use_pallas = AATTN_PALLAS
+        if use_pallas is None:
+            use_pallas = (not train) and jax.default_backend() == "tpu"
+        if use_pallas:
+            # same fused VMEM-resident kernel as AAttn (area=1, asymmetric
+            # q/k width) — see ops/pallas/area_attention.py and the gate
+            # comment above AAttn
+            from ..ops.pallas.area_attention import area_attention  # noqa
 
-        # (b, heads, n, n) attention over the spatial grid
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-        out = out.reshape(b, h, w, self.num_heads * head_dim)
+            out_c, v_c = area_attention(
+                qkv.reshape(b, n, total), self.num_heads, head_dim,
+                key_dim=key_dim,
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out_c.reshape(b, h, w, self.num_heads * head_dim)
+            v_img = v_c.reshape(b, h, w, self.num_heads * head_dim)
+        else:
+            qkv = qkv.reshape(b, n, self.num_heads, 2 * key_dim + head_dim)
+            q = qkv[..., :key_dim]
+            k = qkv[..., key_dim:2 * key_dim]
+            v = qkv[..., 2 * key_dim:]
+
+            # (b, heads, n, n) attention over the spatial grid
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                q.dtype
+            )
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+            out = out.reshape(b, h, w, self.num_heads * head_dim)
+            v_img = v.reshape(b, h, w, self.num_heads * head_dim)
 
         pe = ConvBN(
             self.dim, 3, groups=self.dim, act=False, dtype=self.dtype, name="pe"
-        )(v.reshape(b, h, w, self.num_heads * head_dim), train)
+        )(v_img, train)
         return ConvBN(self.dim, 1, act=False, dtype=self.dtype, name="proj")(
             out + pe, train
         )

@@ -33,6 +33,7 @@ tests/test_yolov12.py::test_area_attention_kernel_parity.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,13 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(qkv_ref, out_ref, v_ref, *, num_heads: int, head_dim: int,
-            scale: float):
-    x = qkv_ref[0]  # (n, heads*3*head_dim), per-head interleaved q|k|v
+            key_dim: int, scale: float):
+    x = qkv_ref[0]  # (n, heads*(2*key_dim+head_dim)), per-head q|k|v
+    stride = 2 * key_dim + head_dim
     for h in range(num_heads):
-        base = 3 * head_dim * h
-        q = x[:, base:base + head_dim]
-        k = x[:, base + head_dim:base + 2 * head_dim]
-        v = x[:, base + 2 * head_dim:base + 3 * head_dim]
+        base = stride * h
+        q = x[:, base:base + key_dim]
+        k = x[:, base + key_dim:base + 2 * key_dim]
+        v = x[:, base + 2 * key_dim:base + stride]
         # scores f32 in VMEM — never touch HBM
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -63,27 +65,34 @@ def _kernel(qkv_ref, out_ref, v_ref, *, num_heads: int, head_dim: int,
 
 
 def area_attention(qkv: jnp.ndarray, num_heads: int, head_dim: int,
+                   key_dim: Optional[int] = None,
                    interpret: bool = False):
     """Fused per-chunk softmax attention.
 
-    qkv: (BA, n, num_heads*3*head_dim) — BA = batch*area chunks, per-head
-    interleaved q|k|v columns (the torch view(B,N,heads,3hd) layout, so
-    trained ultralytics checkpoints run unchanged).
+    qkv: (BA, n, num_heads*(2*key_dim+head_dim)) — BA = batch*area chunks,
+    per-head interleaved q|k|v columns (the torch view(B,N,heads,...).split
+    layout, so trained ultralytics checkpoints run unchanged). key_dim
+    defaults to head_dim (YOLOv12 AAttn); yolo11's PSAAttention passes
+    key_dim = head_dim*attn_ratio (q/k narrower than v).
 
     Returns (out, v): each (BA, n, num_heads*head_dim) with per-head-concat
-    columns — out is softmax(q k^T / sqrt(hd)) v, v is the contiguous value
+    columns — out is softmax(q k^T / sqrt(kd)) v, v is the contiguous value
     tensor for the positional-encoding conv.
     """
-    ba, n, three_d = qkv.shape
+    if key_dim is None:
+        key_dim = head_dim
+    ba, n, total = qkv.shape
     dim = num_heads * head_dim
-    assert three_d == 3 * dim, (qkv.shape, num_heads, head_dim)
+    assert total == num_heads * (2 * key_dim + head_dim), (
+        qkv.shape, num_heads, head_dim, key_dim
+    )
     kern = partial(_kernel, num_heads=num_heads, head_dim=head_dim,
-                   scale=head_dim ** -0.5)
+                   key_dim=key_dim, scale=key_dim ** -0.5)
     out_sd = jax.ShapeDtypeStruct((ba, n, dim), qkv.dtype)
     return pl.pallas_call(
         kern,
         grid=(ba,),
-        in_specs=[pl.BlockSpec((1, n, three_d), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, n, total), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0),

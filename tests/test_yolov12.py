@@ -141,6 +141,27 @@ def test_area_attention_kernel_parity():
     )
 
 
+def test_psa_attention_kernel_parity():
+    """yolo11's PSAAttention rides the same fused kernel (area=1, q/k
+    narrower than v via attn_ratio): pallas-vs-einsum module parity."""
+    from deal_yolo_daya_tpu.models import blocks
+    from deal_yolo_daya_tpu.models.blocks import PSAAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 4, 5, 64))
+    mod = PSAAttention(64, 2, attn_ratio=0.5)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    y_einsum = mod.apply(variables, x)
+    saved = blocks.AATTN_PALLAS
+    blocks.AATTN_PALLAS = True
+    try:
+        y_pallas = mod.apply(variables, x)
+    finally:
+        blocks.AATTN_PALLAS = saved
+    np.testing.assert_allclose(
+        np.asarray(y_pallas), np.asarray(y_einsum), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_aattn_rejects_indivisible_area():
     from deal_yolo_daya_tpu.models.blocks import AAttn
 
