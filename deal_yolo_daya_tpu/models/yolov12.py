@@ -10,10 +10,12 @@ DFL Detect head as YOLO11 — so TAL/DFL/NMS, the trainer, serving, and int8
 paths are shared unchanged.
 
 TPU-first notes: area attention is batched softmax attention over
-(N/area)-token chunks — plain einsums the MXU tiles well (no custom kernel
-needed; the 400x400 fp32-softmax attn at P4@640 is MXU/VPU-bound, not
-HBM-bound). NHWC, bf16 compute / fp32 params, static shapes; the `area`
-chunking is a pure reshape.
+(N/area)-token chunks. At inference on TPU it runs as a fused VMEM-resident
+Pallas kernel (ops/pallas/area_attention.py — the round-5 trace showed the
+einsum formulation HBM-bound at 77% of roofline, scores bouncing through
+HBM; the kernel halves device bytes, +33-48% e2e); training keeps the
+einsum path for XLA autodiff. NHWC, bf16 compute / fp32 params, static
+shapes; the `area` chunking is a pure reshape.
 
 Scale table (depth, width, max_channels):
   n: (0.50, 0.25, 1024)  s: (0.50, 0.50, 1024)  m: (0.50, 1.00, 512)
