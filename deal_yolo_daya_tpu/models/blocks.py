@@ -280,7 +280,7 @@ class PSAAttention(nn.Module):
         qkv = ConvBN(total, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
         use_pallas = AATTN_PALLAS
         if use_pallas is None:
-            use_pallas = (not train) and jax.default_backend() == "tpu"
+            use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             # same fused VMEM-resident kernel as AAttn (area=1, asymmetric
             # q/k width) — see ops/pallas/area_attention.py and the gate
@@ -357,12 +357,15 @@ class C2PSA(nn.Module):
 
 
 # Fused Pallas area-attention kernel gate: True/False force; None = auto
-# (TPU backend AND inference) — the einsum path bounces the (n, n) score
-# tensor through HBM three times per layer and its strided q|k|v extraction
-# dominates the "data formatting" trace bucket (PERF.md round 5: yolo12n
-# infer is HBM-bound at 77% of roofline). Training keeps the einsum path
-# (XLA autodiff; the kernel is forward-only). Exporters that promise
-# portable artifacts must force False while tracing (api.export_stablehlo).
+# (TPU backend, train AND inference) — the einsum path bounces the (n, n)
+# score tensor through HBM three times per layer and its strided q|k|v
+# extraction dominates the "data formatting" trace bucket (PERF.md round 5:
+# yolo12n infer was HBM-bound at 77% of roofline; kernel: +33-48% e2e).
+# Training runs through a custom-VJP flash backward (scores recomputed in
+# VMEM; +9% v12n train step, grad parity test-pinned). Exporters that
+# promise portable artifacts must force False while tracing
+# (api.export_stablehlo does); multi-chip GSPMD-sharded apply is untested
+# with the kernel — force False there if partitioning rejects it.
 AATTN_PALLAS: Optional[bool] = None
 
 
@@ -398,7 +401,7 @@ class AAttn(nn.Module):
         )
         use_pallas = AATTN_PALLAS
         if use_pallas is None:
-            use_pallas = (not train) and jax.default_backend() == "tpu"
+            use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             from ..ops.pallas.area_attention import area_attention  # noqa
 

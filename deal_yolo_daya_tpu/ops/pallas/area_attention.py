@@ -64,23 +64,54 @@ def _kernel(qkv_ref, out_ref, v_ref, *, num_heads: int, head_dim: int,
         v_ref[0, :, head_dim * h:head_dim * (h + 1)] = v
 
 
-def area_attention(qkv: jnp.ndarray, num_heads: int, head_dim: int,
-                   key_dim: Optional[int] = None,
-                   interpret: bool = False):
-    """Fused per-chunk softmax attention.
+def _bwd_kernel(qkv_ref, do_ref, dvo_ref, dqkv_ref, *, num_heads: int,
+                head_dim: int, key_dim: int, scale: float):
+    """Flash-style backward: recompute scores/softmax in VMEM (a chunk fits
+    whole — no streaming needed), then the four gradient matmuls. The
+    (n, n) score/softmax tensors never touch HBM in either direction."""
+    x = qkv_ref[0]          # (n, total)
+    do = do_ref[0]          # (n, dim) cotangent of the attention output
+    dvo = dvo_ref[0]        # (n, dim) cotangent of the v passthrough output
+    stride = 2 * key_dim + head_dim
+    f32 = jnp.float32
+    for h in range(num_heads):
+        base = stride * h
+        q = x[:, base:base + key_dim]
+        k = x[:, base + key_dim:base + 2 * key_dim]
+        v = x[:, base + 2 * key_dim:base + stride]
+        doh = do[:, head_dim * h:head_dim * (h + 1)]
+        dvh = dvo[:, head_dim * h:head_dim * (h + 1)]
+        # recompute P = softmax(q k^T * scale) in f32
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        ) * scale
+        p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        p = p / jnp.sum(p, axis=-1, keepdims=True)          # (nq, nk) f32
+        # dV = P^T dO (+ the v passthrough cotangent)
+        dv = jax.lax.dot_general(
+            p.astype(x.dtype), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                                    # (nk, hd)
+        # dP = dO V^T
+        dp = jax.lax.dot_general(
+            doh, v, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )                                                    # (nq, nk)
+        # softmax jacobian: dS = P ∘ (dP - rowsum(dP ∘ P)), then the scale
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(x.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=f32)      # (nq, kd)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )                                                    # (nk, kd)
+        dt = dqkv_ref.dtype
+        dqkv_ref[0, :, base:base + key_dim] = dq.astype(dt)
+        dqkv_ref[0, :, base + key_dim:base + 2 * key_dim] = dk.astype(dt)
+        dqkv_ref[0, :, base + 2 * key_dim:base + stride] = (
+            dv + dvh.astype(f32)
+        ).astype(dt)
 
-    qkv: (BA, n, num_heads*(2*key_dim+head_dim)) — BA = batch*area chunks,
-    per-head interleaved q|k|v columns (the torch view(B,N,heads,...).split
-    layout, so trained ultralytics checkpoints run unchanged). key_dim
-    defaults to head_dim (YOLOv12 AAttn); yolo11's PSAAttention passes
-    key_dim = head_dim*attn_ratio (q/k narrower than v).
 
-    Returns (out, v): each (BA, n, num_heads*head_dim) with per-head-concat
-    columns — out is softmax(q k^T / sqrt(kd)) v, v is the contiguous value
-    tensor for the positional-encoding conv.
-    """
-    if key_dim is None:
-        key_dim = head_dim
+def _fwd_call(qkv, num_heads, head_dim, key_dim, interpret):
     ba, n, total = qkv.shape
     dim = num_heads * head_dim
     assert total == num_heads * (2 * key_dim + head_dim), (
@@ -103,3 +134,60 @@ def area_attention(qkv: jnp.ndarray, num_heads: int, head_dim: int,
         out_shape=(out_sd, out_sd),
         interpret=interpret,
     )(qkv)
+
+
+def _bwd_call(qkv, do, dvo, num_heads, head_dim, key_dim, interpret):
+    ba, n, total = qkv.shape
+    dim = num_heads * head_dim
+    kern = partial(_bwd_kernel, num_heads=num_heads, head_dim=head_dim,
+                   key_dim=key_dim, scale=key_dim ** -0.5)
+    blk = lambda d: pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(ba,),
+        in_specs=[blk(total), blk(dim), blk(dim)],
+        out_specs=blk(total),
+        out_shape=jax.ShapeDtypeStruct((ba, n, total), qkv.dtype),
+        interpret=interpret,
+    )(qkv, do, dvo)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _area_attention(qkv, num_heads, head_dim, key_dim, interpret):
+    return _fwd_call(qkv, num_heads, head_dim, key_dim, interpret)
+
+
+def _area_attention_fwd(qkv, num_heads, head_dim, key_dim, interpret):
+    return _fwd_call(qkv, num_heads, head_dim, key_dim, interpret), qkv
+
+
+def _area_attention_bwd(num_heads, head_dim, key_dim, interpret, qkv, cts):
+    do, dvo = cts
+    dqkv = _bwd_call(qkv, do, dvo, num_heads, head_dim, key_dim, interpret)
+    return (dqkv,)
+
+
+_area_attention.defvjp(_area_attention_fwd, _area_attention_bwd)
+
+
+def area_attention(qkv: jnp.ndarray, num_heads: int, head_dim: int,
+                   key_dim: Optional[int] = None,
+                   interpret: bool = False):
+    """Fused per-chunk softmax attention — differentiable (custom VJP with
+    a flash-style recompute backward kernel, so training never materializes
+    the (n, n) scores in HBM either).
+
+    qkv: (BA, n, num_heads*(2*key_dim+head_dim)) — BA = batch*area chunks,
+    per-head interleaved q|k|v columns (the torch view(B,N,heads,...).split
+    layout, so trained ultralytics checkpoints run unchanged). key_dim
+    defaults to head_dim (YOLOv12 AAttn); yolo11's PSAAttention passes
+    key_dim = head_dim*attn_ratio (q/k narrower than v).
+
+    Returns (out, v): each (BA, n, num_heads*head_dim) with per-head-concat
+    columns — out is softmax(q k^T / sqrt(kd)) v, v is the contiguous value
+    tensor for the positional-encoding conv.
+    """
+    if key_dim is None:
+        key_dim = head_dim
+    return _area_attention(qkv, num_heads, head_dim, key_dim, interpret)

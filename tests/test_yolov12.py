@@ -141,6 +141,46 @@ def test_area_attention_kernel_parity():
     )
 
 
+def test_area_attention_kernel_grad_parity():
+    """The custom-VJP flash backward must match the einsum path's autodiff:
+    value AND gradients, both for a scalar loss of the attention output and
+    through the v-passthrough (the PE-conv branch consumes v too)."""
+    from deal_yolo_daya_tpu.models import blocks
+    from deal_yolo_daya_tpu.models.blocks import AAttn
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 4, 8, 64))
+    mod = AAttn(64, 2, area=4)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, inp):
+        y = mod.apply({"params": params, "batch_stats":
+                       variables["batch_stats"]}, inp)
+        return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-3
+
+    (l0, g0), gx0 = (
+        jax.value_and_grad(loss)(variables["params"], x),
+        jax.grad(loss, argnums=1)(variables["params"], x),
+    )
+    saved = blocks.AATTN_PALLAS
+    blocks.AATTN_PALLAS = True
+    try:
+        (l1, g1), gx1 = (
+            jax.value_and_grad(loss)(variables["params"], x),
+            jax.grad(loss, argnums=1)(variables["params"], x),
+        )
+    finally:
+        blocks.AATTN_PALLAS = saved
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        ),
+        g0, g1,
+    )
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
+                               rtol=5e-4, atol=5e-5)
+
+
 def test_psa_attention_kernel_parity():
     """yolo11's PSAAttention rides the same fused kernel (area=1, q/k
     narrower than v via attn_ratio): pallas-vs-einsum module parity."""
