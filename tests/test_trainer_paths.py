@@ -209,7 +209,10 @@ def test_nbs_cadence_accumulates_and_scales_wd(tmp_path):
     import jax
     import numpy as np
 
-    data_yaml = make_dataset(tmp_path, n_train=8, n_val=4, imgsz=64, nc=2)
+    # 64 imgs / batch 8 = 8 steps: the run must be able to COMMIT the
+    # 8-micro-batch window, or the round-4 guard clamps it (a window larger
+    # than the whole run would mean zero optimizer steps — see Trainer)
+    data_yaml = make_dataset(tmp_path, n_train=64, n_val=4, imgsz=64, nc=2)
     from deal_yolo_daya_tpu.train.trainer import TrainConfig, Trainer
 
     cfg = TrainConfig(
