@@ -263,6 +263,22 @@ class YOLO:
          ".mpeg"}
     )
 
+    @staticmethod
+    def _fetch_url_source(url: str) -> Path:
+        """Download an http(s) predict source into the shared URL cache
+        (datakit's retry/backoff downloader); repeat calls on the same URL
+        reuse the cached file. Raises FileNotFoundError when unreachable."""
+        import tempfile
+
+        from .datakit.download import ensure_image_cached
+
+        cache = Path(tempfile.gettempdir()) / "dyd_predict_cache"
+        cache.mkdir(parents=True, exist_ok=True)
+        local = ensure_image_cached(url, cache)
+        if local is None:
+            raise FileNotFoundError(f"无法下载输入源：{url}")
+        return local
+
     def predict(
         self,
         source: Union[str, Path, np.ndarray, Sequence],
@@ -312,6 +328,14 @@ class YOLO:
                      else self._fused_vars())
 
         is_video = False
+        if isinstance(source, (str, Path)) and str(source).startswith(
+            ("http://", "https://")
+        ):
+            # ultralytics predictor parity: http(s) sources download to a
+            # cache first (the reference's rows carry image URLs too —
+            # core/utils.py:44-55), then flow through the local-file path,
+            # so a URL ending .mp4 plays as video.
+            source = self._fetch_url_source(str(source))
         if isinstance(source, (str, Path)):
             p = Path(source)
             if p.suffix.lower() in self.VIDEO_SUFFIXES:
@@ -327,7 +351,13 @@ class YOLO:
         elif isinstance(source, np.ndarray):
             sources = [source]
         else:
-            sources = list(source)
+            sources = [
+                self._fetch_url_source(s)
+                if isinstance(s, (str, Path)) and str(s).startswith(
+                    ("http://", "https://"))
+                else s
+                for s in source
+            ]
 
         # the jitted program is cached on the instance: a fresh closure per
         # predict() call would retrace + reload the executable every time

@@ -364,8 +364,10 @@ class C2PSA(nn.Module):
 # Training runs through a custom-VJP flash backward (scores recomputed in
 # VMEM; +9% v12n train step, grad parity test-pinned). Exporters that
 # promise portable artifacts must force False while tracing
-# (api.export_stablehlo does); multi-chip GSPMD-sharded apply is untested
-# with the kernel — force False there if partitioning rejects it.
+# (api.export_stablehlo does). Sharded meshes are supported: the kernel
+# carries a batch-axis custom_partitioning rule (fwd AND bwd), so a DP
+# shard runs locally with zero collectives and TP-sharded operands are
+# re-gathered on the channel dim only (tests/test_attention_sharding.py).
 AATTN_PALLAS: Optional[bool] = None
 
 

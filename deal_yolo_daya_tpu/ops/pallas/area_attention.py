@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 
 def _kernel(qkv_ref, out_ref, v_ref, *, num_heads: int, head_dim: int,
@@ -153,18 +155,104 @@ def _bwd_call(qkv, do, dvo, num_heads, head_dim, key_dim, interpret):
     )(qkv, do, dvo)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _area_attention(qkv, num_heads, head_dim, key_dim, interpret):
+# ---- GSPMD sharding surface -------------------------------------------
+#
+# A bare pallas_call is opaque to the SPMD partitioner: on a sharded mesh
+# XLA would all-gather qkv and run the FULL batch's kernel on every device.
+# The kernel is embarrassingly parallel over the leading (batch x area)
+# chunk axis, so we expose exactly that through custom_partitioning: the
+# chunk axis inherits the operand's sharding (DP rides for free, zero
+# collectives — asserted by tests/test_attention_sharding.py on an
+# 8-device mesh), while the token/channel dims are declared
+# need-replication (a TP-sharded qkv conv output gets re-gathered on the
+# channel dim only, batch sharding intact). Single-device jit lowers to
+# the plain kernel unchanged (parity + perf A/B'd on the real chip).
+
+def _leading_spec(arg_shape):
+    """The operand's sharding component on the (batch x area) chunk axis."""
+    s = getattr(arg_shape, "sharding", None)
+    if not isinstance(s, NamedSharding) or not len(s.spec):
+        return None
+    return s.spec[0]
+
+
+def _chunk_sharding(mesh, arg_shapes):
+    return NamedSharding(mesh, PartitionSpec(_leading_spec(arg_shapes[0]),
+                                             None, None))
+
+
+def _partition_fwd(num_heads, head_dim, key_dim, interpret, mesh,
+                   arg_shapes, result_shape):
+    sh = _chunk_sharding(mesh, arg_shapes)
+
+    def lower_fn(qkv):
+        return _fwd_call(qkv, num_heads, head_dim, key_dim, interpret)
+
+    return mesh, lower_fn, (sh, sh), (sh,)
+
+
+def _infer_fwd(num_heads, head_dim, key_dim, interpret, mesh, arg_shapes,
+               result_shape):
+    sh = _chunk_sharding(mesh, arg_shapes)
+    return (sh, sh)
+
+
+@partial(custom_partitioning, static_argnums=(1, 2, 3, 4))
+def _fwd_sharded(qkv, num_heads, head_dim, key_dim, interpret):
     return _fwd_call(qkv, num_heads, head_dim, key_dim, interpret)
 
 
+_fwd_sharded.def_partition(
+    partition=_partition_fwd,
+    infer_sharding_from_operands=_infer_fwd,
+    # shardy rule: chunk axis b propagates; tokens/channels must replicate
+    sharding_rule="b n t -> b n d, b n d",
+    need_replication_factors=("n", "t", "d"),
+)
+
+
+def _partition_bwd(num_heads, head_dim, key_dim, interpret, mesh,
+                   arg_shapes, result_shape):
+    sh = _chunk_sharding(mesh, arg_shapes)
+
+    def lower_fn(qkv, do, dvo):
+        return _bwd_call(qkv, do, dvo, num_heads, head_dim, key_dim,
+                         interpret)
+
+    return mesh, lower_fn, sh, (sh, sh, sh)
+
+
+def _infer_bwd(num_heads, head_dim, key_dim, interpret, mesh, arg_shapes,
+               result_shape):
+    return _chunk_sharding(mesh, arg_shapes)
+
+
+@partial(custom_partitioning, static_argnums=(3, 4, 5, 6))
+def _bwd_sharded(qkv, do, dvo, num_heads, head_dim, key_dim, interpret):
+    return _bwd_call(qkv, do, dvo, num_heads, head_dim, key_dim, interpret)
+
+
+_bwd_sharded.def_partition(
+    partition=_partition_bwd,
+    infer_sharding_from_operands=_infer_bwd,
+    sharding_rule="b n t, b n d, b n d -> b n t",
+    need_replication_factors=("n", "t", "d"),
+)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _area_attention(qkv, num_heads, head_dim, key_dim, interpret):
+    return _fwd_sharded(qkv, num_heads, head_dim, key_dim, interpret)
+
+
 def _area_attention_fwd(qkv, num_heads, head_dim, key_dim, interpret):
-    return _fwd_call(qkv, num_heads, head_dim, key_dim, interpret), qkv
+    return _fwd_sharded(qkv, num_heads, head_dim, key_dim, interpret), qkv
 
 
 def _area_attention_bwd(num_heads, head_dim, key_dim, interpret, qkv, cts):
     do, dvo = cts
-    dqkv = _bwd_call(qkv, do, dvo, num_heads, head_dim, key_dim, interpret)
+    dqkv = _bwd_sharded(qkv, do, dvo, num_heads, head_dim, key_dim,
+                        interpret)
     return (dqkv,)
 
 

@@ -308,17 +308,12 @@ class Trainer:
         # than plain jit on the axon backend (PERF.md); skip all sharding
         # machinery unless there are actually multiple chips.
         self.single_device = self.mesh.devices.size == 1
-        if not self.single_device:
-            # GSPMD partitioning of the fused attention custom-call is
-            # untested (no multi-chip hardware in this environment) — pin
-            # the auto gate to the einsum path on sharded meshes; a user
-            # who has validated it can force blocks.AATTN_PALLAS = True.
-            from ..models import blocks as _blocks
-
-            if _blocks.AATTN_PALLAS is None:
-                _blocks.AATTN_PALLAS = False
-                print("多芯片 mesh：融合注意力内核自动关闭（einsum 路径）；"
-                      "如已验证可设 blocks.AATTN_PALLAS=True")
+        # The fused attention kernel is GSPMD-partitionable (batch-axis
+        # custom_partitioning rule, ops/pallas/area_attention.py): on a
+        # sharded mesh each device runs the kernel on its local DP shard
+        # with zero collectives (tests/test_attention_sharding.py), so the
+        # auto gate needs no multi-device pin. blocks.AATTN_PALLAS = False
+        # remains the escape hatch.
         n_data = self.mesh.shape["data"]
         if config.batch > 0 and config.batch % n_data != 0:
             config.batch = max(n_data, config.batch // n_data * n_data)

@@ -262,3 +262,52 @@ def test_predict_save_name_collisions_and_default_dir(tmp_path, monkeypatch):
     second = model.predict([img], conf=0.001, max_det=5, save=True)
     assert (second[0].save_path.parent.resolve()
             == (tmp_path / "runs" / "predict2").resolve())
+
+
+def test_predict_url_source(tmp_path, monkeypatch):
+    """http(s) predict sources download through the datakit cache
+    (ultralytics predictor accepts URLs; reference rows carry image URLs,
+    core/utils.py:44-55). Second call must hit the cache, not the network."""
+    import io
+    import tempfile
+
+    from deal_yolo_daya_tpu.datakit import download
+
+    img = np.random.default_rng(1).integers(0, 255, (32, 40, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    payload = buf.getvalue()
+    calls = {"n": 0}
+
+    class _Resp:
+        content = payload
+
+        def raise_for_status(self):
+            pass
+
+    def fake_get(url, stream=True, timeout=15):
+        calls["n"] += 1
+        return _Resp()
+
+    monkeypatch.setattr(download.requests, "get", fake_get)
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    model = YOLO("yolo11n", nc=2, imgsz=64)
+    url = "http://host/remote_img.jpg"
+    dets = model.predict(url, conf=0.99)
+    assert len(dets) == 1 and calls["n"] == 1
+    assert dets[0].image.shape == (32, 40, 3)
+    assert Path(dets[0].path).name == "remote_img.jpg"
+
+    # mixed list source + cache hit: no second download of the same URL
+    dets2 = model.predict([url, img], conf=0.99)
+    assert len(dets2) == 2 and calls["n"] == 1
+
+    # unreachable URL surfaces as FileNotFoundError, not a silent skip
+    def dead_get(url, stream=True, timeout=15):
+        raise IOError("no route")
+
+    monkeypatch.setattr(download.requests, "get", dead_get)
+    monkeypatch.setattr(download.time, "sleep", lambda s: None)
+    with pytest.raises(FileNotFoundError):
+        model.predict("http://host/missing.jpg", conf=0.99)
